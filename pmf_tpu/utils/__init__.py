@@ -1,0 +1,10 @@
+from .meters import AverageMeter, RunningAvgMeter, RemainTime
+from .logger import make_logger, is_main_process
+
+__all__ = [
+    "AverageMeter",
+    "RunningAvgMeter",
+    "RemainTime",
+    "make_logger",
+    "is_main_process",
+]
