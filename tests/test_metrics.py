@@ -68,7 +68,7 @@ def test_iou_eval_accumulates():
 
 
 def test_topk_accuracy():
-    logits = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1], [0.2, 0.3, 0.5]])
+    logits = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.05, 0.15], [0.2, 0.3, 0.5]])
     target = jnp.asarray([1, 2, 2])
     np.testing.assert_allclose(float(topk_accuracy(logits, target, 1)), 2.0 / 3.0, rtol=1e-6)
     np.testing.assert_allclose(float(topk_accuracy(logits, target, 2)), 1.0, rtol=1e-6)
