@@ -1,0 +1,71 @@
+"""Deterministic z-buffer scatter of points onto an image grid.
+
+Replaces two reference mechanisms with one deterministic primitive:
+  * RangeProjection's far-to-near sort + overwrite (projection.py:64-82):
+    nearest point wins each pixel;
+  * PerspectiveViewLoader's unsorted numpy fancy-assignment scatter
+    (perspective_view_loader.py:99-117), whose winner is whichever point
+    happens to come last in file order.
+
+TPU-native design: no data-dependent sort of the whole cloud. We run two
+scatter-min passes (XLA lowers `.at[].min` efficiently):
+  pass 1: per-pixel min depth (the z-buffer),
+  pass 2: among points matching the winning depth, min point index
+          (deterministic tie-break).
+All shapes static; invalid points are routed to a sentinel pixel H*W.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(3.4e38)
+
+
+def zbuffer_scatter(rows: jax.Array, cols: jax.Array, depth: jax.Array,
+                    keep: jax.Array, H: int, W: int):
+    """Resolve per-pixel winning point indices with a depth z-buffer.
+
+    Args:
+      rows, cols: [N] integer (or float, floored) pixel coordinates.
+      depth: [N] float32 depth used for the z-test (smaller wins).
+      keep: [N] bool validity.
+      H, W: image size.
+
+    Returns:
+      winner_idx: [H, W] int32 index into the point buffer, -1 for empty.
+      mask: [H, W] bool occupancy.
+    """
+    N = depth.shape[0]
+    r = jnp.clip(rows.astype(jnp.int32), 0, H - 1)
+    c = jnp.clip(cols.astype(jnp.int32), 0, W - 1)
+    pix = jnp.where(keep, r * W + c, H * W)  # sentinel bucket for invalid
+
+    d = jnp.where(keep, depth.astype(jnp.float32), _BIG)
+    zbuf = jnp.full((H * W + 1,), _BIG, dtype=jnp.float32).at[pix].min(d)
+
+    # exact float equality is safe: zbuf holds one of the scattered values
+    is_winner = keep & (d <= zbuf[pix])
+    idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    cand = jnp.where(is_winner, idx, N)
+    winner = jnp.full((H * W + 1,), N, dtype=jnp.int32).at[pix].min(cand)
+
+    winner = winner[: H * W].reshape(H, W)
+    mask = winner < N
+    return jnp.where(mask, winner, -1), mask
+
+
+def scatter_to_image(values: jax.Array, winner_idx: jax.Array,
+                     mask: jax.Array, fill: float = 0.0) -> jax.Array:
+    """Gather per-point values into the image using z-buffer winners.
+
+    values: [N, F] (or [N]); winner_idx/mask: [H, W] from zbuffer_scatter.
+    Returns [H, W, F] (or [H, W]) with `fill` in empty pixels.
+    """
+    squeeze = values.ndim == 1
+    if squeeze:
+        values = values[:, None]
+    safe = jnp.maximum(winner_idx, 0)
+    img = values[safe.reshape(-1)].reshape(*winner_idx.shape, values.shape[-1])
+    img = jnp.where(mask[..., None], img, jnp.asarray(fill, values.dtype))
+    return img[..., 0] if squeeze else img
