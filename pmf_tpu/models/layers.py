@@ -1,0 +1,97 @@
+"""Shared NN building blocks (flax.linen, NHWC, TPU-native layouts).
+
+Conventions chosen for parity with the reference torch modules:
+  * torch LeakyReLU default slope 0.01;
+  * torch BatchNorm2d: eps 1e-5, running-stat momentum 0.1
+    (flax `momentum` = 0.9);
+  * torch Dropout2d: whole-channel dropout → flax Dropout with
+    broadcast_dims=(1, 2) on NHWC;
+  * torch AvgPool2d(count_include_pad=True): reduce_window sum / k².
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def leaky_relu(x: jax.Array) -> jax.Array:
+    return nn.leaky_relu(x, negative_slope=0.01)
+
+
+def _pad2(p) -> Sequence[tuple[int, int]]:
+    if isinstance(p, int):
+        return ((p, p), (p, p))
+    return ((p[0], p[0]), (p[1], p[1]))
+
+
+class Conv(nn.Module):
+    """Conv2d with torch-style integer padding."""
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    stride: int = 1
+    padding: int | tuple[int, int] = 0
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, self.kernel,
+                       strides=(self.stride, self.stride),
+                       padding=_pad2(self.padding),
+                       kernel_dilation=(self.dilation, self.dilation),
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       param_dtype=jnp.float32)(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch hyperparameters.
+
+    Under jit with a batch sharded across the data mesh axis, the batch
+    statistics are global-batch statistics — XLA inserts the cross-replica
+    reduction. This *is* the SyncBN the reference hand-built with thread
+    pipes (pc_processor/layers/sync_bn.py:40-133).
+    """
+    use_running_average: bool | None = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        ura = nn.merge_param("use_running_average", self.use_running_average,
+                             use_running_average)
+        # stats in f32 even when activations are bf16
+        return nn.BatchNorm(use_running_average=ura, momentum=0.9,
+                            epsilon=1e-5, dtype=jnp.float32,
+                            param_dtype=jnp.float32)(x)
+
+
+class Dropout2d(nn.Module):
+    """Channel dropout (torch nn.Dropout2d) for NHWC tensors."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        return nn.Dropout(rate=self.rate, broadcast_dims=(1, 2),
+                          deterministic=deterministic)(x)
+
+
+def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """AvgPool2d(kernel_size=3, stride=2, padding=1, count_include_pad=True).
+
+    Parity: salsanext.py:65 pooling between encoder stages.
+    """
+    s = jax.lax.reduce_window(
+        x, jnp.asarray(0.0, x.dtype), jax.lax.add,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+    return s / jnp.asarray(9.0, x.dtype)
+
+
+def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """MaxPool2d(kernel_size=3, stride=2, padding=1) — the ResNet stem pool."""
+    return jax.lax.reduce_window(
+        x, jnp.asarray(-jnp.inf, x.dtype), jax.lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)))

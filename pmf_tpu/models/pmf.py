@@ -1,0 +1,169 @@
+"""PMFNet: two-stream perception-aware multi-sensor fusion network.
+
+Parity: pc_processor/models/pmf_net.py —
+  * ResidualBasedFusionBlock (:10-36): concat → conv/LReLU/BN, sigmoid
+    attention (conv/BN/ReLU/conv/BN/sigmoid), residual add;
+  * ASPP (:103-138): global-pool branch + 1×1 + three dilated 3×3
+    (6/12/18), 1×1 merge;
+  * SalsaNextFusion (:141-180): SalsaNext encoder with a fusion block
+    after each of resBlocks 1-4 ingesting the matching ResNet stage,
+    ASPP on the bottleneck before the decoder;
+  * RGBDecoder (:183-222): 4-stage conv+bilinear-upsample FCN + softmax;
+  * PMFNet (:224-249): returns (lidar_probs, camera_probs), channel-last.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import upsample_bilinear
+from .layers import BatchNorm, Conv, leaky_relu
+from .resnet import ResNetEncoder
+from .salsanext import ResBlock, ResContextBlock, UpBlock
+
+
+class ResidualBasedFusionBlock(nn.Module):
+    """Attention-gated residual fusion of camera features into the lidar
+    stream. Parity: pmf_net.py:10-36."""
+    pcd_channels: int
+
+    @nn.compact
+    def __call__(self, pcd_feature, img_feature, train: bool):
+        cat = jnp.concatenate([pcd_feature, img_feature], axis=-1)
+        fused = Conv(self.pcd_channels, (3, 3), padding=1, name="fuse_conv")(cat)
+        fused = leaky_relu(fused)
+        fused = BatchNorm(name="fuse_bn")(fused, use_running_average=not train)
+
+        att = Conv(self.pcd_channels, (3, 3), padding=1, name="att_conv1")(fused)
+        att = BatchNorm(name="att_bn1")(att, use_running_average=not train)
+        att = nn.relu(att)
+        att = Conv(self.pcd_channels, (3, 3), padding=1, name="att_conv2")(att)
+        att = BatchNorm(name="att_bn2")(att, use_running_average=not train)
+        att = nn.sigmoid(att)
+        return fused * att + pcd_feature
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling. Parity: pmf_net.py:103-138."""
+    depth: int
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[1], x.shape[2]
+        gp = x.mean(axis=(1, 2), keepdims=True)
+        gp = Conv(self.depth, (1, 1), name="conv")(gp)
+        gp = jnp.broadcast_to(gp, (x.shape[0], h, w, self.depth))
+
+        b1 = Conv(self.depth, (1, 1), name="atrous_block1")(x)
+        b6 = Conv(self.depth, (3, 3), padding=6, dilation=6,
+                  name="atrous_block6")(x)
+        b12 = Conv(self.depth, (3, 3), padding=12, dilation=12,
+                   name="atrous_block12")(x)
+        b18 = Conv(self.depth, (3, 3), padding=18, dilation=18,
+                   name="atrous_block18")(x)
+        cat = jnp.concatenate([gp, b1, b6, b12, b18], axis=-1)
+        return Conv(self.depth, (1, 1), name="conv_1x1_output")(cat)
+
+
+class SalsaNextFusion(nn.Module):
+    """SalsaNext lidar stream with per-stage camera fusion + ASPP.
+
+    Parity: pmf_net.py:141-180 (fusion AFTER each resBlock — contrast
+    EPMF which fuses before).
+    """
+    nclasses: int = 20
+    base_channels: int = 32
+    dropout_rate: float = 0.2
+    softmax: bool = True
+
+    @nn.compact
+    def __call__(self, x, img_features, train: bool = False):
+        bc = self.base_channels
+        c = ResContextBlock(bc, name="downCntx")(x, train)
+        c = ResContextBlock(bc, name="downCntx2")(c, train)
+        c = ResContextBlock(bc, name="downCntx3")(c, train)
+
+        down0c, down0b = ResBlock(2 * bc, self.dropout_rate, pooling=True,
+                                  drop_out=False, name="resBlock1")(c, train)
+        down0c = ResidualBasedFusionBlock(2 * bc, name="fusionblock_1")(
+            down0c, img_features[0], train)
+
+        down1c, down1b = ResBlock(4 * bc, self.dropout_rate,
+                                  name="resBlock2")(down0c, train)
+        down1c = ResidualBasedFusionBlock(4 * bc, name="fusionblock_2")(
+            down1c, img_features[1], train)
+
+        down2c, down2b = ResBlock(8 * bc, self.dropout_rate,
+                                  name="resBlock3")(down1c, train)
+        down2c = ResidualBasedFusionBlock(8 * bc, name="fusionblock_3")(
+            down2c, img_features[2], train)
+
+        down3c, down3b = ResBlock(8 * bc, self.dropout_rate,
+                                  name="resBlock4")(down2c, train)
+        down3c = ResidualBasedFusionBlock(8 * bc, name="fusionblock_4")(
+            down3c, img_features[3], train)
+
+        down5c = ResBlock(8 * bc, self.dropout_rate, pooling=False,
+                          name="resBlock5")(down3c, train)
+        down5c = ASPP(8 * bc, name="aspp")(down5c)
+
+        up4e = UpBlock(4 * bc, self.dropout_rate, name="upBlock1")(down5c, down3b, train)
+        up3e = UpBlock(4 * bc, self.dropout_rate, name="upBlock2")(up4e, down2b, train)
+        up2e = UpBlock(2 * bc, self.dropout_rate, name="upBlock3")(up3e, down1b, train)
+        up1e = UpBlock(bc, self.dropout_rate, drop_out=False,
+                       name="upBlock4")(up2e, down0b, train)
+        logits = Conv(self.nclasses, (1, 1), name="logits")(up1e)
+        if self.softmax:
+            return jax.nn.softmax(logits, axis=-1)
+        return logits
+
+
+class RGBDecoder(nn.Module):
+    """Camera-stream FCN decoder. Parity: pmf_net.py:183-222."""
+    nclasses: int = 20
+    base_channels: int = 64
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        def up_stage(x, name, kernel=(3, 3), padding=1):
+            x = Conv(self.base_channels, kernel, padding=padding,
+                     name=f"{name}_conv")(x)
+            x = leaky_relu(x)
+            x = BatchNorm(name=f"{name}_bn")(x, use_running_average=not train)
+            return upsample_bilinear(x, 2)
+
+        up4 = up_stage(inputs[3], "up_4a")
+        up3 = up_stage(jnp.concatenate([up4, inputs[2]], -1), "up_3a")
+        up2 = up_stage(jnp.concatenate([up3, inputs[1]], -1), "up_2a")
+        up1 = up_stage(jnp.concatenate([up2, inputs[0]], -1), "up_1a",
+                       kernel=(1, 1), padding=0)
+        out = Conv(self.nclasses, (3, 3), padding=1, name="conv")(up1)
+        return jax.nn.softmax(out, axis=-1)
+
+
+class PMFNet(nn.Module):
+    """Two-stream fusion net. Parity: pmf_net.py:224-249.
+
+    forward(pcd [N,H,W,5], img [N,H,W,3]) → (lidar_probs, camera_probs).
+    """
+    nclasses: int = 20
+    base_channels: int = 32
+    image_backbone: str = "resnet34"
+    dropout_rate: float = 0.2
+
+    def setup(self):
+        self.camera_stream_encoder = ResNetEncoder(
+            backbone=self.image_backbone, dropout_rate=self.dropout_rate)
+        self.camera_stream_decoder = RGBDecoder(
+            nclasses=self.nclasses,
+            base_channels=self.camera_stream_encoder.expansion * 16)
+        self.lidar_stream = SalsaNextFusion(
+            nclasses=self.nclasses, base_channels=self.base_channels,
+            dropout_rate=self.dropout_rate)
+
+    def __call__(self, pcd_feature, img_feature, train: bool = False):
+        img_feats = self.camera_stream_encoder(img_feature, train)
+        lidar_pred = self.lidar_stream(pcd_feature, img_feats, train)
+        camera_pred = self.camera_stream_decoder(img_feats, train)
+        return lidar_pred, camera_pred

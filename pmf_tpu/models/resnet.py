@@ -1,0 +1,125 @@
+"""ResNet camera encoder (flax, NHWC).
+
+Parity: pc_processor/models/pmf_net.py:41-100 (ResNet wrapper around
+torchvision resnet34/50/101/152) with the PMF modifications:
+  * stem conv is 7×7 **stride 1** (only the maxpool downsamples before
+    layer1, so layer1 sits at 1/2 input resolution — pmf_net.py:69-72);
+  * channel dropout after layer3 and layer4 outputs;
+  * forward returns the four stage outputs [layer1..layer4]
+    (strides 2, 4, 8, 16).
+
+Weights can be loaded from a converted torchvision state_dict
+(pmf_tpu.models.torch_convert) to reproduce ImageNet pretraining.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import BatchNorm, Conv, Dropout2d, max_pool_3x3_s2
+
+_STAGES = {
+    "resnet34": ([3, 4, 6, 3], "basic", 1),
+    "resnet50": ([3, 4, 6, 3], "bottleneck", 4),
+    "resnet101": ([3, 4, 23, 3], "bottleneck", 4),
+    "resnet152": ([3, 8, 36, 3], "bottleneck", 4),
+}
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        out = Conv(self.features, (3, 3), stride=self.stride, padding=1,
+                   use_bias=False, name="conv1")(x)
+        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = Conv(self.features, (3, 3), padding=1, use_bias=False,
+                   name="conv2")(out)
+        out = BatchNorm(name="bn2")(out, use_running_average=not train)
+        if self.downsample:
+            identity = Conv(self.features, (1, 1), stride=self.stride,
+                            use_bias=False, name="downsample_conv")(x)
+            identity = BatchNorm(name="downsample_bn")(
+                identity, use_running_average=not train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    features: int  # width of the 3x3; output = features * 4
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        out = Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = Conv(self.features, (3, 3), stride=self.stride, padding=1,
+                   use_bias=False, name="conv2")(out)
+        out = BatchNorm(name="bn2")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = BatchNorm(name="bn3")(out, use_running_average=not train)
+        if self.downsample:
+            identity = Conv(self.features * 4, (1, 1), stride=self.stride,
+                            use_bias=False, name="downsample_conv")(x)
+            identity = BatchNorm(name="downsample_bn")(
+                identity, use_running_average=not train)
+        return nn.relu(out + identity)
+
+
+class ResNetEncoder(nn.Module):
+    """4-stage feature extractor; returns [c1, c2, c3, c4]."""
+    backbone: str = "resnet34"
+    dropout_rate: float = 0.2
+
+    @property
+    def expansion(self) -> int:
+        return _STAGES[self.backbone][2]
+
+    @property
+    def feature_channels(self):
+        e = self.expansion
+        return [64 * e, 128 * e, 256 * e, 512 * e]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        blocks, kind, _ = _STAGES[self.backbone]
+        block_cls = BasicBlock if kind == "basic" else Bottleneck
+
+        h, w = x.shape[1], x.shape[2]
+        if h % 16 != 0 or w % 16 != 0:
+            raise ValueError(f"invalid input size: {x.shape}")
+
+        # stem: 7x7 stride-1 conv (PMF trick), BN, relu, 3x3/2 maxpool
+        out = Conv(64, (7, 7), stride=1, padding=3, use_bias=False,
+                   name="conv1")(x)
+        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = max_pool_3x3_s2(out)
+
+        feats = []
+        widths = [64, 128, 256, 512]
+        for stage, (n, width) in enumerate(zip(blocks, widths)):
+            for i in range(n):
+                stride = 2 if (i == 0 and stage > 0) else 1
+                expansion = 1 if kind == "basic" else 4
+                needs_ds = (i == 0) and (
+                    stride != 1 or (stage == 0 and kind == "bottleneck"))
+                out = block_cls(width, stride=stride, downsample=needs_ds,
+                                name=f"layer{stage + 1}_{i}")(out, train)
+            feats.append(out)
+
+        # dropout on layer3/layer4 outputs (pmf_net.py:97-98)
+        feats[2] = Dropout2d(self.dropout_rate, name="dropout3")(
+            feats[2], deterministic=not train)
+        feats[3] = Dropout2d(self.dropout_rate, name="dropout4")(
+            feats[3], deterministic=not train)
+        return feats

@@ -1,0 +1,154 @@
+"""SalsaNext range-image encoder-decoder (flax, NHWC).
+
+Parity: pc_processor/models/salsanext.py (block graph preserved exactly:
+3×ResContextBlock → 5×ResBlock (avg-pool downsample, dilated multi-branch
+with concat-1×1 merge) → 4×UpBlock (PixelShuffle ×2 + skip concat) → 1×1
+logits + softmax). Channel widths: base 32, encoder 32/64/128/256/256.
+
+TPU-native notes: NHWC keeps convs MXU-aligned; dropout is channelwise;
+BatchNorm here gives SyncBN semantics under a sharded global batch.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import pixel_shuffle
+from .layers import BatchNorm, Conv, Dropout2d, avg_pool_3x3_s2, leaky_relu
+
+
+class ResContextBlock(nn.Module):
+    """1×1 shortcut + (3×3 → 3×3 dil2) residual context block.
+
+    Parity: salsanext.py:9-36 (note act→BN ordering).
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = leaky_relu(Conv(self.features, (1, 1), name="conv1")(x))
+        resA = leaky_relu(Conv(self.features, (3, 3), padding=1, name="conv2")(shortcut))
+        resA1 = BatchNorm(name="bn1")(resA, use_running_average=not train)
+        resA = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
+                               name="conv3")(resA1))
+        resA2 = BatchNorm(name="bn2")(resA, use_running_average=not train)
+        return shortcut + resA2
+
+
+class ResBlock(nn.Module):
+    """Dilated multi-branch residual block with optional pooling.
+
+    Parity: salsanext.py:38-104. Returns (pooled, pre-pool skip) when
+    pooling else the block output.
+    """
+    features: int
+    dropout_rate: float = 0.2
+    pooling: bool = True
+    drop_out: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = leaky_relu(Conv(self.features, (1, 1), name="conv1")(x))
+        resA = leaky_relu(Conv(self.features, (3, 3), padding=1, name="conv2")(x))
+        resA1 = BatchNorm(name="bn1")(resA, use_running_average=not train)
+        resA = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
+                               name="conv3")(resA1))
+        resA2 = BatchNorm(name="bn2")(resA, use_running_average=not train)
+        resA = leaky_relu(Conv(self.features, (2, 2), padding=1, dilation=2,
+                               name="conv4")(resA2))
+        resA3 = BatchNorm(name="bn3")(resA, use_running_average=not train)
+        concat = jnp.concatenate([resA1, resA2, resA3], axis=-1)
+        resA = leaky_relu(Conv(self.features, (1, 1), name="conv5")(concat))
+        resA = BatchNorm(name="bn4")(resA, use_running_average=not train)
+        resA = shortcut + resA
+
+        resB = resA
+        if self.drop_out:
+            resB = Dropout2d(self.dropout_rate, name="dropout")(resB, deterministic=not train)
+        if self.pooling:
+            return avg_pool_3x3_s2(resB), resA
+        return resB
+
+
+class UpBlock(nn.Module):
+    """PixelShuffle ×2 upsample + skip concat + dilated multi-branch merge.
+
+    Parity: salsanext.py:107-164.
+    """
+    features: int
+    dropout_rate: float = 0.2
+    drop_out: bool = True
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool):
+        det = not train
+        upA = pixel_shuffle(x, 2)
+        if self.drop_out:
+            upA = Dropout2d(self.dropout_rate, name="dropout1")(upA, deterministic=det)
+        upB = jnp.concatenate([upA, skip], axis=-1)
+        if self.drop_out:
+            upB = Dropout2d(self.dropout_rate, name="dropout2")(upB, deterministic=det)
+
+        upE = leaky_relu(Conv(self.features, (3, 3), padding=1, name="conv1")(upB))
+        upE1 = BatchNorm(name="bn1")(upE, use_running_average=not train)
+        upE = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
+                              name="conv2")(upE1))
+        upE2 = BatchNorm(name="bn2")(upE, use_running_average=not train)
+        upE = leaky_relu(Conv(self.features, (2, 2), padding=1, dilation=2,
+                              name="conv3")(upE2))
+        upE3 = BatchNorm(name="bn3")(upE, use_running_average=not train)
+        concat = jnp.concatenate([upE1, upE2, upE3], axis=-1)
+        upE = leaky_relu(Conv(self.features, (1, 1), name="conv4")(concat))
+        upE = BatchNorm(name="bn4")(upE, use_running_average=not train)
+        if self.drop_out:
+            upE = Dropout2d(self.dropout_rate, name="dropout3")(upE, deterministic=det)
+        return upE
+
+
+class SalsaNext(nn.Module):
+    """LiDAR-only SalsaNext. Parity: salsanext.py:166-208.
+
+    Input [N, H, W, C_in]; output per-pixel class probabilities
+    [N, H, W, nclasses] (softmax=True) or logits.
+    """
+    nclasses: int = 20
+    base_channels: int = 32
+    softmax: bool = True
+    dropout_rate: float = 0.2
+
+    def setup(self):
+        bc = self.base_channels
+        self.downCntx = ResContextBlock(bc)
+        self.downCntx2 = ResContextBlock(bc)
+        self.downCntx3 = ResContextBlock(bc)
+        self.resBlock1 = ResBlock(2 * bc, self.dropout_rate, pooling=True, drop_out=False)
+        self.resBlock2 = ResBlock(4 * bc, self.dropout_rate, pooling=True)
+        self.resBlock3 = ResBlock(8 * bc, self.dropout_rate, pooling=True)
+        self.resBlock4 = ResBlock(8 * bc, self.dropout_rate, pooling=True)
+        self.resBlock5 = ResBlock(8 * bc, self.dropout_rate, pooling=False)
+        self.upBlock1 = UpBlock(4 * bc, self.dropout_rate)
+        self.upBlock2 = UpBlock(4 * bc, self.dropout_rate)
+        self.upBlock3 = UpBlock(2 * bc, self.dropout_rate)
+        self.upBlock4 = UpBlock(bc, self.dropout_rate, drop_out=False)
+        self.logits = Conv(self.nclasses, (1, 1), name="logits")
+
+    def __call__(self, x, train: bool = False):
+        c = self.downCntx(x, train)
+        c = self.downCntx2(c, train)
+        c = self.downCntx3(c, train)
+
+        down0c, down0b = self.resBlock1(c, train)
+        down1c, down1b = self.resBlock2(down0c, train)
+        down2c, down2b = self.resBlock3(down1c, train)
+        down3c, down3b = self.resBlock4(down2c, train)
+        down5c = self.resBlock5(down3c, train)
+
+        up4e = self.upBlock1(down5c, down3b, train)
+        up3e = self.upBlock2(up4e, down2b, train)
+        up2e = self.upBlock3(up3e, down1b, train)
+        up1e = self.upBlock4(up2e, down0b, train)
+        logits = self.logits(up1e)
+        if self.softmax:
+            return jax.nn.softmax(logits, axis=-1)
+        return logits
