@@ -1,0 +1,109 @@
+"""Host-side batching loader with threaded prefetch.
+
+Replaces torch DataLoader + DistributedSampler (tasks/pmf/trainer.py:149-168):
+  * file IO + padding runs in a thread pool (numpy IO releases the GIL);
+  * per-process sharding for multi-host: each JAX process reads
+    indices[process_index::process_count] — the DistributedSampler
+    equivalent;
+  * batches are stacked numpy dicts, handed to the jitted on-device
+    preprocessing (build_batch / build_range_batch).
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Callable, Iterator
+
+import numpy as np
+
+from .perspective_pipeline import PVConfig, pad_image, pad_points
+
+
+def kitti_sample_reader(dataset, cfg: PVConfig) -> Callable[[int], dict]:
+    """Build a reader(index) → numpy sample dict for the PV pipeline."""
+
+    def read(index: int) -> dict:
+        pcd, sem, _ = dataset.loadDataByIndex(index)
+        sem = dataset.labelMapping(sem)
+        points, labels, valid = pad_points(pcd, sem, cfg.n_points)
+        img = dataset.loadImage(index)
+        image, img_h, img_w = pad_image(img, cfg.canvas_h, cfg.canvas_w)
+        seq, _ = dataset.parsePathInfoByIndex(index)
+        return {
+            "points": points, "labels": labels, "valid": valid,
+            "proj_matrix": dataset.projection_matrix(seq).astype(np.float32),
+            "image": image, "img_h": img_h, "img_w": img_w,
+            "index": np.int32(index),
+        }
+
+    return read
+
+
+def range_sample_reader(dataset, cfg) -> Callable[[int], dict]:
+    """Reader for the spherical range pipeline (no image)."""
+
+    def read(index: int) -> dict:
+        pcd, sem, _ = dataset.loadDataByIndex(index)
+        sem = dataset.labelMapping(sem)
+        points, labels, valid = pad_points(pcd, sem, cfg.n_points)
+        return {"points": points, "labels": labels, "valid": valid,
+                "index": np.int32(index)}
+
+    return read
+
+
+class HostLoader:
+    """Sharded, shuffled, prefetching batch iterator."""
+
+    def __init__(self, reader: Callable[[int], dict], n_samples: int,
+                 batch_size: int, shuffle: bool = False,
+                 drop_last: bool = True, seed: int = 0,
+                 num_workers: int = 8, prefetch: int = 4,
+                 process_index: int = 0, process_count: int = 1):
+        self.reader = reader
+        self.n_samples = n_samples
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Reshuffle per epoch (DistributedSampler.set_epoch parity)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(self.n_samples)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.process_index::self.process_count]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._indices()
+        n_batches = len(self)
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures = []
+            submitted = 0
+
+            def submit_batch(b):
+                lo = b * self.batch_size
+                batch_idx = idx[lo:lo + self.batch_size]
+                return [pool.submit(self.reader, int(i)) for i in batch_idx]
+
+            for b in range(min(self.prefetch, n_batches)):
+                futures.append(submit_batch(b))
+                submitted += 1
+            for b in range(n_batches):
+                if submitted < n_batches:
+                    futures.append(submit_batch(submitted))
+                    submitted += 1
+                samples = [f.result() for f in futures[b]]
+                yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}

@@ -1,0 +1,240 @@
+"""Perspective-view ("LiDAR camera-plane image") preprocessing pipeline.
+
+Parity: pc_processor/dataset/perspective_view_loader.py (PerspectiveViewLoader):
+project LiDAR points into the RGB image plane, scatter xyzi/depth/label/
+mask into image-sized planes, then 2D-augment (h-flip, ±15° rotation,
+random/center crop, pad) into the network input:
+  feature [H, W, 8] = depth, x, y, z, intensity, R, G, B
+  mask    [H, W]    = projected-point occupancy
+  label   [H, W]    = train-class id (0 = empty/ignore)
+
+TPU-native design (the single biggest deviation from the reference —
+SURVEY §7): the reference runs this per-sample in numpy DataLoader
+workers; here it is one jitted, vmapped function of fixed-shape padded
+inputs:
+  * points padded to `n_points` with a validity mask;
+  * images padded bottom/right to a fixed canvas; per-sample true
+    (img_h, img_w) drive bounds checks and crop geometry as traced
+    scalars — one compiled program for all sequences;
+  * scatter = deterministic z-buffer (ops.scatter), nearest point wins
+    (the reference's unsorted overwrite is file-order-dependent);
+  * flip → rotate → crop → pad collapse into a single inverse-affine
+    nearest gather (one pass over output pixels instead of three
+    image-sized intermediates).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.projection import perspective_project
+from ..ops.scatter import scatter_to_image, zbuffer_scatter
+from .augment import AugmentConfig, augment_pointcloud
+
+
+@dataclass(frozen=True)
+class PVConfig:
+    """Static pipeline geometry (mirrors YAML `sensor` group)."""
+    canvas_h: int = 384     # >= max image height in the dataset
+    canvas_w: int = 1248    # >= max image width
+    proj_h: int = 384       # eval output size (sensor.proj_h)
+    proj_w: int = 1232
+    proj_ht: int = 256      # train output size (sensor.proj_ht)
+    proj_wt: int = 1024
+    h_pad: int = 7          # sensor.h_pad / w_pad
+    w_pad: int = 3
+    n_points: int = 131072  # point buffer bucket
+    rot_deg: float = 15.0   # train RandomRotation bound
+    p_hflip: float = 0.5
+    img_mean: tuple = (12.12, 10.88, 0.23, -1.04, 0.21)
+    img_stds: tuple = (12.32, 11.47, 6.91, 0.86, 0.16)
+    pcd_aug: bool = False   # ref trainer.py:142 (PMF: no pcd aug)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+
+    @property
+    def train_crop(self):
+        # RandomCrop target before re-padding (loader :66-68)
+        return (self.proj_ht - 2 * self.h_pad, self.proj_wt - 2 * self.w_pad)
+
+    @property
+    def eval_crop(self):
+        return (self.proj_h - 2 * self.h_pad, self.proj_w - 2 * self.w_pad)
+
+
+def pad_points(pcd: np.ndarray, sem_label: np.ndarray, n_points: int):
+    """Host-side: pad a ragged scan to the fixed point bucket."""
+    n = min(len(pcd), n_points)
+    points = np.zeros((n_points, pcd.shape[1]), dtype=np.float32)
+    labels = np.zeros((n_points,), dtype=np.int32)
+    valid = np.zeros((n_points,), dtype=bool)
+    points[:n] = pcd[:n]
+    labels[:n] = sem_label[:n]
+    valid[:n] = True
+    return points, labels, valid
+
+
+def pad_image(img: np.ndarray, canvas_h: int, canvas_w: int):
+    """Host-side: place the RGB image top-left on the fixed canvas, /255."""
+    out = np.zeros((canvas_h, canvas_w, 3), dtype=np.float32)
+    h = min(img.shape[0], canvas_h)
+    w = min(img.shape[1], canvas_w)
+    out[:h, :w] = img[:h, :w, :3].astype(np.float32) / 255.0
+    return out, np.int32(h), np.int32(w)
+
+
+def project_to_canvas(points, labels, valid, proj_matrix, image,
+                      img_h, img_w, cfg: PVConfig):
+    """Scatter a point cloud onto the padded image canvas.
+
+    Returns dict with canvas-shaped planes + per-point projection data
+    (used by eval unprojection, loader `return_uproj` mode :133-135).
+    """
+    rows, cols, keep = perspective_project(points[:, :3], proj_matrix,
+                                           img_h, img_w, valid)
+    depth = jnp.linalg.norm(points[:, :3], axis=-1)
+    winner, mask = zbuffer_scatter(rows, cols, depth, keep,
+                                   cfg.canvas_h, cfg.canvas_w)
+    xyzi = scatter_to_image(points, winner, mask)          # [Hc, Wc, 4]
+    d = scatter_to_image(depth, winner, mask)              # [Hc, Wc]
+    lab = scatter_to_image(labels, winner, mask).astype(jnp.int32)
+    feature = jnp.concatenate([d[..., None], xyzi, image], axis=-1)  # 8ch
+    return {
+        "feature": feature,
+        "mask": mask,
+        "label": lab,
+        "point_rows": rows, "point_cols": cols, "point_keep": keep,
+        "point_depth": depth,
+    }
+
+
+def _affine_sample(planes: dict, src_y, src_x, in_bounds):
+    """Nearest-gather feature/mask/label at float source coords."""
+    Hc, Wc = planes["mask"].shape
+    iy = jnp.clip(jnp.round(src_y).astype(jnp.int32), 0, Hc - 1)
+    ix = jnp.clip(jnp.round(src_x).astype(jnp.int32), 0, Wc - 1)
+    feat = planes["feature"][iy, ix]
+    feat = jnp.where(in_bounds[..., None], feat, 0.0)
+    mask = jnp.where(in_bounds, planes["mask"][iy, ix], False)
+    lab = jnp.where(in_bounds, planes["label"][iy, ix], 0)
+    return feat, mask, lab
+
+
+def _crop_pad_grid(out_h, out_w, h_pad, w_pad, top, left):
+    """Output-pixel grid → cropped-image coords; returns coords + the
+    inside-the-pad mask."""
+    yo = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    xo = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    yc = yo - h_pad
+    xc = xo - w_pad
+    inside = ((yc >= 0) & (yc < out_h - 2 * h_pad) &
+              (xc >= 0) & (xc < out_w - 2 * w_pad))
+    return yc + top, xc + left, inside
+
+
+def train_view(key, planes: dict, img_h, img_w, cfg: PVConfig):
+    """RandomHorizontalFlip → RandomRotation(±rot_deg, nearest, fill 0) →
+    RandomCrop(train_crop) → Pad(w_pad, h_pad). One fused gather.
+
+    Crop offsets are sampled within the *actual* image extent (the
+    reference operates on image-sized tensors).
+    """
+    ch, cw = cfg.train_crop
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    flip = jax.random.uniform(k1) < cfg.p_hflip
+    theta = jax.random.uniform(k2, minval=-cfg.rot_deg, maxval=cfg.rot_deg)
+    theta = theta * jnp.pi / 180.0
+    top = jax.random.randint(k3, (), 0, jnp.maximum(img_h - ch, 0) + 1)
+    left = jax.random.randint(k4, (), 0, jnp.maximum(img_w - cw, 0) + 1)
+
+    ys, xs, inside = _crop_pad_grid(cfg.proj_ht, cfg.proj_wt,
+                                    cfg.h_pad, cfg.w_pad, top, left)
+    # inverse rotation about the actual image center
+    cy = (img_h.astype(jnp.float32) - 1.0) / 2.0
+    cx = (img_w.astype(jnp.float32) - 1.0) / 2.0
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    dy, dx = ys - cy, xs - cx
+    src_y = cy + (st * dx + ct * dy)
+    src_x = cx + (ct * dx - st * dy)
+    src_x = jnp.where(flip, img_w.astype(jnp.float32) - 1.0 - src_x, src_x)
+
+    in_img = (inside & (src_y >= -0.5) & (src_y < img_h - 0.5) &
+              (src_x >= -0.5) & (src_x < img_w - 0.5))
+    return _affine_sample(planes, src_y, src_x, in_img)
+
+
+def eval_view(planes: dict, img_h, img_w, cfg: PVConfig):
+    """CenterCrop(eval_crop) → Pad. Identity geometry when the image is
+    already eval_crop-sized (loader :71-74)."""
+    ch, cw = cfg.eval_crop
+    top = jnp.maximum(img_h - ch, 0) // 2
+    left = jnp.maximum(img_w - cw, 0) // 2
+    ys, xs, inside = _crop_pad_grid(cfg.proj_h, cfg.proj_w,
+                                    cfg.h_pad, cfg.w_pad, top, left)
+    in_img = inside & (ys < img_h) & (xs < img_w)
+    return _affine_sample(planes, ys, xs, in_img)
+
+
+def normalize_feature(feature, mask, cfg: PVConfig):
+    """(f[0:5] - mean) / std * mask on the lidar channels; RGB untouched.
+
+    Parity: tasks/pmf/trainer.py:291-295.
+    """
+    mean = jnp.asarray(cfg.img_mean, feature.dtype)
+    std = jnp.asarray(cfg.img_stds, feature.dtype)
+    lidar = (feature[..., :5] - mean) / std * mask[..., None].astype(feature.dtype)
+    return jnp.concatenate([lidar, feature[..., 5:]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "train"))
+def build_batch(key, points, labels, valid, proj_matrix, images,
+                img_h, img_w, cfg: PVConfig, train: bool):
+    """Batched end-to-end preprocessing: project, scatter, 2D-augment,
+    normalize. All inputs carry a leading batch dim.
+
+    Returns (feature [B,H,W,8] normalized, mask [B,H,W] bool,
+    label [B,H,W] int32).
+    """
+    B = points.shape[0]
+    keys = jax.random.split(key, B)
+
+    def one(k, pts, lab, val, P, img, ih, iw):
+        if train and cfg.pcd_aug:
+            pts = augment_pointcloud(k, pts, cfg.augment)
+        planes = project_to_canvas(pts, lab, val, P, img, ih, iw, cfg)
+        if train:
+            f, m, l = train_view(jax.random.fold_in(k, 1), planes, ih, iw, cfg)
+        else:
+            f, m, l = eval_view(planes, ih, iw, cfg)
+        return normalize_feature(f, m, cfg), m, l
+
+    return jax.vmap(one)(keys, points, labels, valid, proj_matrix, images,
+                         img_h, img_w)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_eval_sample_with_uproj(points, labels, valid, proj_matrix, image,
+                                 img_h, img_w, cfg: PVConfig):
+    """Single-scan eval path keeping per-point projection indices
+    (loader `return_uproj` mode, used by tasks/pmf_eval_* infer.py).
+
+    Returns (feature [H,W,8] normalized, mask, label2d, rows, cols, keep,
+    depth) — rows/cols are canvas-space integer pixel coords per point.
+    """
+    planes = project_to_canvas(points, labels, valid, proj_matrix, image,
+                               img_h, img_w, cfg)
+    f, m, l = eval_view(planes, img_h, img_w, cfg)
+    # point pixel coords in the *network output* frame: image coords
+    # shifted by the center-crop offset and the re-pad
+    ch, cw = cfg.eval_crop
+    top = jnp.maximum(img_h - ch, 0) // 2
+    left = jnp.maximum(img_w - cw, 0) // 2
+    rows = jnp.floor(planes["point_rows"]).astype(jnp.int32) - top + cfg.h_pad
+    cols = jnp.floor(planes["point_cols"]).astype(jnp.int32) - left + cfg.w_pad
+    keep = (planes["point_keep"] & (rows >= 0) & (rows < cfg.proj_h) &
+            (cols >= 0) & (cols < cfg.proj_w))
+    return (normalize_feature(f, m, cfg), m, l, rows, cols, keep,
+            planes["point_depth"])
