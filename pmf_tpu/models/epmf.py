@@ -34,8 +34,10 @@ def _dilate_mask(mask: jax.Array, kernel: int, stride: int, dilation: int,
     padding=0, dilation)."""
     ph, pw = padding
     m = jnp.pad(mask, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    # scalar -inf init → differentiable max-monoid path; mask is {0,1} so
+    # the result equals a 0-init max
     return jax.lax.reduce_window(
-        m, jnp.asarray(0.0, m.dtype), jax.lax.max,
+        m, -jnp.inf, jax.lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
         window_dilation=(1, dilation, dilation, 1),

@@ -82,8 +82,10 @@ def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
 
     Parity: salsanext.py:65 pooling between encoder stages.
     """
+    # scalar init (not an array) so JAX recognizes the add-monoid and the
+    # op stays differentiable under jit
     s = jax.lax.reduce_window(
-        x, jnp.asarray(0.0, x.dtype), jax.lax.add,
+        x, 0.0, jax.lax.add,
         window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)))
     return s / jnp.asarray(9.0, x.dtype)
@@ -92,6 +94,6 @@ def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """MaxPool2d(kernel_size=3, stride=2, padding=1) — the ResNet stem pool."""
     return jax.lax.reduce_window(
-        x, jnp.asarray(-jnp.inf, x.dtype), jax.lax.max,
+        x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)))

@@ -1,0 +1,177 @@
+"""Jitted train / eval steps for the fusion models.
+
+Parity: tasks/pmf/trainer.py run() (:254-433):
+  loss = focal(lidar) + λ·lovász(lidar) + focal(cam) + λ·lovász(cam)
+       + γ·perception_aware(lidar, cam)
+with per-pixel label_mask = label > 0 on the focal terms, per-iteration
+LR schedule, and per-batch confusion-matrix metrics for both streams.
+
+TPU-native: one jit compiles forward+losses+backward+update+metrics into
+a single XLA program over the *global* sharded batch — gradient
+all-reduce, SyncBN statistics and metric reduction are all emitted by
+XLA onto ICI. The two reference optimizers become one multi_transform
+update.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import (
+    focal_softmax_loss, lovasz_softmax_loss, perception_aware_loss,
+    normalized_entropy,
+)
+from ..metrics.iou import confusion_matrix
+from .state import TrainState
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    nclasses: int = 20
+    alpha: tuple = ()          # per-class focal alpha
+    gamma_focal: float = 2.0
+    lambda_: float = 1.0       # lovász weight
+    gamma: float = 0.5         # perception-aware weight
+    tau: float = 0.7           # confidence gate
+    lovasz_ignore: int = 0
+
+
+def pmf_losses(lidar_pred, camera_pred, label, cfg: LossConfig):
+    """Full PMF loss composition; returns (total, aux dict)."""
+    alpha = jnp.asarray(cfg.alpha, jnp.float32)
+    label_mask = label > 0
+
+    loss_foc = focal_softmax_loss(lidar_pred, label, alpha,
+                                  gamma=cfg.gamma_focal, mask=label_mask)
+    loss_lov = lovasz_softmax_loss(lidar_pred, label, ignore=cfg.lovasz_ignore)
+    loss_foc_cam = focal_softmax_loss(camera_pred, label, alpha,
+                                      gamma=cfg.gamma_focal, mask=label_mask)
+    loss_lov_cam = lovasz_softmax_loss(camera_pred, label,
+                                       ignore=cfg.lovasz_ignore)
+    loss_per, _, _ = perception_aware_loss(lidar_pred, camera_pred, cfg.tau)
+
+    total = (loss_foc + loss_lov * cfg.lambda_ +
+             loss_foc_cam + loss_lov_cam * cfg.lambda_ +
+             loss_per * cfg.gamma)
+
+    lidar_log = jnp.log(jnp.clip(lidar_pred, 1e-8))
+    cam_log = jnp.log(jnp.clip(camera_pred, 1e-8))
+    aux = {
+        "loss": total,
+        "loss_focal": loss_foc,
+        "loss_lovasz": loss_lov,
+        "loss_focal_cam": loss_foc_cam,
+        "loss_lovasz_cam": loss_lov_cam,
+        "loss_perception": loss_per,
+        "entropy": normalized_entropy(lidar_pred, lidar_log).mean(),
+        "entropy_cam": normalized_entropy(camera_pred, cam_log).mean(),
+    }
+    return total, aux
+
+
+def make_pmf_train_step(model, tx, cfg: LossConfig):
+    """Build the jitted fused train step.
+
+    step(state, feature [B,H,W,8], label [B,H,W], key) →
+      (new_state, metrics) where metrics holds scalar losses and the
+      [C,C] confusion matrices of both streams.
+    """
+
+    @jax.jit
+    def train_step(state: TrainState, feature, label, key):
+        pcd = feature[..., 0:5]
+        img = feature[..., 5:8]
+
+        def loss_fn(params):
+            (lidar_pred, camera_pred), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pcd, img, train=True,
+                rngs={"dropout": key}, mutable=["batch_stats"])
+            total, aux = pmf_losses(lidar_pred, camera_pred, label, cfg)
+            return total, (mutated["batch_stats"], aux, lidar_pred, camera_pred)
+
+        grads, (new_bs, aux, lidar_pred, camera_pred) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+
+        aux["conf"] = confusion_matrix(
+            jnp.argmax(lidar_pred, -1), label, cfg.nclasses)
+        aux["conf_cam"] = confusion_matrix(
+            jnp.argmax(camera_pred, -1), label, cfg.nclasses)
+        return new_state, aux
+
+    return train_step
+
+
+def make_pmf_eval_step(model, cfg: LossConfig):
+    @jax.jit
+    def eval_step(state: TrainState, feature, label):
+        pcd = feature[..., 0:5]
+        img = feature[..., 5:8]
+        lidar_pred, camera_pred = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pcd, img, train=False)
+        _, aux = pmf_losses(lidar_pred, camera_pred, label, cfg)
+        aux["conf"] = confusion_matrix(
+            jnp.argmax(lidar_pred, -1), label, cfg.nclasses)
+        aux["conf_cam"] = confusion_matrix(
+            jnp.argmax(camera_pred, -1), label, cfg.nclasses)
+        return aux, lidar_pred
+
+    return eval_step
+
+
+def salsanext_losses(pred, label, cfg: LossConfig):
+    """LiDAR-only composition (tasks/salsanext/trainer.py:203-213):
+    focal + λ·lovász."""
+    alpha = jnp.asarray(cfg.alpha, jnp.float32)
+    label_mask = label > 0
+    loss_foc = focal_softmax_loss(pred, label, alpha, gamma=cfg.gamma_focal,
+                                  mask=label_mask)
+    loss_lov = lovasz_softmax_loss(pred, label, ignore=cfg.lovasz_ignore)
+    total = loss_foc + cfg.lambda_ * loss_lov
+    return total, {"loss": total, "loss_focal": loss_foc,
+                   "loss_lovasz": loss_lov}
+
+
+def make_salsanext_train_step(model, tx, cfg: LossConfig):
+    @jax.jit
+    def train_step(state: TrainState, feature, label, key):
+        def loss_fn(params):
+            pred, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feature, train=True,
+                rngs={"dropout": key}, mutable=["batch_stats"])
+            total, aux = salsanext_losses(pred, label, cfg)
+            return total, (mutated["batch_stats"], aux, pred)
+
+        grads, (new_bs, aux, pred) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        aux["conf"] = confusion_matrix(jnp.argmax(pred, -1), label, cfg.nclasses)
+        return new_state, aux
+
+    return train_step
+
+
+def make_salsanext_eval_step(model, cfg: LossConfig):
+    @jax.jit
+    def eval_step(state: TrainState, feature, label):
+        pred = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feature, train=False)
+        _, aux = salsanext_losses(pred, label, cfg)
+        aux["conf"] = confusion_matrix(jnp.argmax(pred, -1), label, cfg.nclasses)
+        return aux, pred
+
+    return eval_step

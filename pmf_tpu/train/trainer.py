@@ -1,0 +1,276 @@
+"""Generic experiment trainer.
+
+Replaces the four near-duplicate per-task Trainer classes
+(tasks/pmf/trainer.py, tasks/epmf/trainer.py, tasks/salsanext/trainer.py,
+tasks/sensat_urban/pmf/trainer.py) with one engine, parameterized by
+`Options.net_type` and `Options.dataset`.
+
+Responsibilities (parity with tasks/pmf/trainer.py + main.py):
+  * datasets + loaders with per-process sharding and per-epoch shuffles;
+  * class-frequency focal alpha (trainer.py:194-199);
+  * hybrid AdamW/SGD optimizer + per-iteration WarmupCosine schedule;
+  * jitted fused train/eval steps over the device mesh (global-batch =
+    DDP + SyncBN + distributed metrics in one program);
+  * epoch loop with IoU/Acc/Recall accumulation, per-iter logging with
+    data-time/process-time split and ETA, scalar stream, checkpointing
+    and best-metric snapshots.
+"""
+from __future__ import annotations
+
+import datetime
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Options
+from ..data import (
+    PVConfig, RangeConfig, SemanticKitti, build_batch, build_range_batch,
+    HostLoader, kitti_sample_reader,
+)
+from ..data.augment import AugmentConfig
+from ..data.loader import range_sample_reader
+from ..metrics import IOUEval
+from ..models import EPMFNet, PMFNet, SalsaNext
+from ..parallel import make_mesh, shard_batch
+from ..utils import AverageMeter, RemainTime
+from .checkpoint import CheckpointManager
+from .optim import adamw, hybrid_pmf_optimizer
+from .recorder import Recorder
+from .schedules import warmup_cosine_lr
+from .state import TrainState
+from .steps import (
+    LossConfig, make_pmf_eval_step, make_pmf_train_step,
+    make_salsanext_eval_step, make_salsanext_train_step,
+)
+
+
+def kitti_focal_alpha(cls_freq: np.ndarray, learning_ignore: dict) -> np.ndarray:
+    """alpha = log(1 + 1/(freq+1e-3)) / max, ignored classes 0.
+
+    Parity: tasks/pmf/trainer.py:108-114,194-199.
+    """
+    w = 1.0 / (cls_freq + 1e-3)
+    for cl in range(len(w)):
+        if learning_ignore.get(cl, False):
+            w[cl] = 0.0
+    alpha = np.log(1 + w)
+    alpha = alpha / alpha.max()
+    alpha[0] = 0.0
+    return alpha.astype(np.float32)
+
+
+class Trainer:
+    def __init__(self, opts: Options, recorder: Recorder | None = None):
+        self.opts = opts
+        self.recorder = recorder
+        self.remain_time = RemainTime(opts.n_epochs)
+        self.mesh = make_mesh(opts.mesh_data, opts.mesh_model)
+
+        self._init_data()
+        self._init_model()
+        self._init_steps()
+        self.metrics = IOUEval(opts.nclasses, ignore=self.ignore_class)
+        self.metrics_img = IOUEval(opts.nclasses, ignore=self.ignore_class)
+        self.ckpt = CheckpointManager(
+            recorder.checkpoint_dir if recorder else
+            f"{opts.run_dir}/checkpoint")
+        self._key = jax.random.PRNGKey(opts.seed)
+
+    # ------------------------------------------------------------ data
+    def _init_data(self):
+        opts = self.opts
+        sensor = opts.group("sensor")
+        aug = AugmentConfig.from_dict(opts.group("augmentation"))
+        self.is_fusion = opts.net_type in ("PMFNet", "EPMFNet")
+
+        if opts.dataset == "SemanticKitti":
+            trainset = SemanticKitti(opts.data_root, [0, 1, 2, 3, 4, 5, 6, 7, 9, 10])
+            valset = SemanticKitti(opts.data_root, [8])
+            self.alpha = kitti_focal_alpha(
+                trainset.cls_freq, trainset.data_config["learning_ignore"])
+            self.ignore_class = [cl for cl, a in enumerate(self.alpha) if a == 0]
+            self.mapped_cls_name = trainset.mapped_cls_name
+        else:
+            raise ValueError(f"dataset not wired into Trainer yet: {opts.dataset}")
+
+        if self.is_fusion:
+            self.pv_cfg = PVConfig(
+                canvas_h=int(sensor.get("canvas_h", 384)),
+                canvas_w=int(sensor.get("canvas_w", 1248)),
+                proj_h=int(sensor.get("proj_h", 384)),
+                proj_w=int(sensor.get("proj_w", 1232)),
+                proj_ht=int(sensor.get("proj_ht", 256)),
+                proj_wt=int(sensor.get("proj_wt", 1024)),
+                h_pad=int(sensor.get("h_pad", 7)),
+                w_pad=int(sensor.get("w_pad", 3)),
+                n_points=int(sensor.get("n_points", 131072)),
+                img_mean=tuple(sensor.get("img_mean", PVConfig.img_mean)),
+                img_stds=tuple(sensor.get("img_stds", PVConfig.img_stds)),
+                pcd_aug=bool(sensor.get("pcd_aug", False)),
+                augment=aug)
+            train_reader = kitti_sample_reader(trainset, self.pv_cfg)
+            val_reader = kitti_sample_reader(valset, self.pv_cfg)
+        else:
+            self.range_cfg = RangeConfig(
+                proj_h=int(sensor.get("proj_h", 64)),
+                proj_w=int(sensor.get("proj_w", 2048)),
+                fov_up=float(sensor.get("fov_up", 3.0)),
+                fov_down=float(sensor.get("fov_down", -25.0)),
+                fov_left=float(sensor.get("fov_left", -180.0)),
+                fov_right=float(sensor.get("fov_right", 180.0)),
+                n_points=int(sensor.get("n_points", 131072)),
+                img_mean=tuple(sensor.get("img_mean", RangeConfig.img_mean)),
+                img_stds=tuple(sensor.get("img_stds", RangeConfig.img_stds)),
+                augment=aug)
+            train_reader = range_sample_reader(trainset, self.range_cfg)
+            val_reader = range_sample_reader(valset, self.range_cfg)
+
+        pi, pc = jax.process_index(), jax.process_count()
+        self.train_loader = HostLoader(
+            train_reader, len(trainset), opts.batch_size[0], shuffle=True,
+            drop_last=True, seed=opts.seed, num_workers=opts.n_threads,
+            process_index=pi, process_count=pc)
+        self.val_loader = HostLoader(
+            val_reader, len(valset), opts.batch_size[1], shuffle=False,
+            drop_last=False, num_workers=opts.n_threads,
+            process_index=pi, process_count=pc)
+
+    # ----------------------------------------------------------- model
+    def _init_model(self):
+        opts = self.opts
+        if opts.net_type == "PMFNet":
+            self.model = PMFNet(nclasses=opts.nclasses,
+                                base_channels=opts.base_channels,
+                                image_backbone=opts.img_backbone)
+        elif opts.net_type == "EPMFNet":
+            self.model = EPMFNet(nclasses=opts.nclasses,
+                                 base_channels=opts.base_channels,
+                                 image_backbone=opts.img_backbone)
+        elif opts.net_type == "SalsaNext":
+            self.model = SalsaNext(nclasses=opts.nclasses,
+                                   base_channels=opts.base_channels)
+        else:
+            raise ValueError(f"invalid net_type: {opts.net_type}")
+
+        if self.is_fusion:
+            h, w = self.pv_cfg.proj_ht, self.pv_cfg.proj_wt
+            example = (jnp.zeros((1, h, w, 5)), jnp.zeros((1, h, w, 3)))
+        else:
+            h, w = self.range_cfg.proj_h, self.range_cfg.proj_w
+            example = (jnp.zeros((1, h, w, 5)),)
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(opts.seed),
+             "dropout": jax.random.PRNGKey(opts.seed + 1)},
+            *example, train=False)
+
+        if opts.pretrained_weights and self.is_fusion:
+            from ..models.torch_convert import load_pretrained_resnet_into
+
+            variables = load_pretrained_resnet_into(
+                variables, opts.pretrained_weights, opts.img_backbone,
+                log=self.recorder.logger if self.recorder else None)
+
+        steps_per_epoch = max(len(self.train_loader), 1)
+        schedule = warmup_cosine_lr(
+            opts.lr, opts.warmup_epochs * steps_per_epoch,
+            (opts.n_epochs - opts.warmup_epochs) * steps_per_epoch)
+        self.lr_schedule = schedule
+        if self.is_fusion:
+            self.tx = hybrid_pmf_optimizer(schedule, opts.momentum,
+                                           opts.weight_decay)
+        else:
+            self.tx = adamw(schedule)
+        self.state = TrainState.create(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}, self.tx)
+
+    # ----------------------------------------------------------- steps
+    def _init_steps(self):
+        opts = self.opts
+        self.loss_cfg = LossConfig(
+            nclasses=opts.nclasses, alpha=tuple(float(a) for a in self.alpha),
+            gamma_focal=2.0, lambda_=opts.lambda_, gamma=opts.gamma,
+            tau=opts.tau)
+        if self.is_fusion:
+            self.train_step = make_pmf_train_step(self.model, self.tx, self.loss_cfg)
+            self.eval_step = make_pmf_eval_step(self.model, self.loss_cfg)
+        else:
+            self.train_step = make_salsanext_train_step(self.model, self.tx,
+                                                        self.loss_cfg)
+            self.eval_step = make_salsanext_eval_step(self.model, self.loss_cfg)
+
+    # ------------------------------------------------------- preprocess
+    def _device_batch(self, batch: dict, train: bool, key):
+        """Host batch → sharded device arrays → fused preprocessing."""
+        sharded = shard_batch(self.mesh, batch)
+        if self.is_fusion:
+            f, m, l = build_batch(
+                key, sharded["points"], sharded["labels"], sharded["valid"],
+                sharded["proj_matrix"], sharded["image"], sharded["img_h"],
+                sharded["img_w"], self.pv_cfg, train)
+        else:
+            f, l, m = build_range_batch(
+                key, sharded["points"], sharded["labels"], sharded["valid"],
+                self.range_cfg, train)
+        return f, l
+
+    # ------------------------------------------------------------- run
+    def run(self, epoch: int, mode: str = "Train") -> dict:
+        train = mode == "Train"
+        loader = self.train_loader if train else self.val_loader
+        if train:
+            loader.set_epoch(epoch)
+        self.metrics.reset()
+        self.metrics_img.reset()
+        loss_meter = AverageMeter()
+        total_iter = len(loader)
+        t_start = time.time()
+
+        for i, batch in enumerate(loader):
+            t_proc = time.time()
+            self._key, kp, kd = jax.random.split(self._key, 3)
+            feature, label = self._device_batch(batch, train, kp)
+            if train:
+                self.state, aux = self.train_step(self.state, feature, label, kd)
+            else:
+                aux, _ = self.eval_step(self.state, feature, label)
+
+            loss = float(aux["loss"])
+            loss_meter.update(loss, feature.shape[0])
+            self.metrics.addBatchConf(np.asarray(aux["conf"]))
+            if "conf_cam" in aux:
+                self.metrics_img.addBatchConf(np.asarray(aux["conf_cam"]))
+
+            data_t = t_proc - t_start
+            proc_t = time.time() - t_proc
+            self.remain_time.update(time.time() - t_start, mode)
+            t_start = time.time()
+
+            if self.recorder is not None and (
+                    i % 10 == 0 or i == total_iter - 1):
+                miou, _ = self.metrics.getIoU()
+                macc, _ = self.metrics.getAcc()
+                lr = float(self.lr_schedule(self.state.step))
+                rt = datetime.timedelta(seconds=int(
+                    self.remain_time.getRemainTime(epoch, i, total_iter, mode)))
+                self.recorder.logger.info(
+                    f">>> {mode} E[{self.opts.n_epochs:03d}|{epoch + 1:03d}] "
+                    f"I[{total_iter:04d}|{i + 1:04d}] DT[{data_t:.3f}] "
+                    f"PT[{proc_t:.3f}] LR {lr:.5f} Loss {loss:.4f} "
+                    f"Acc {macc:.4f} IOU {miou:.4f} RT {rt}")
+            if self.opts.is_debug:
+                break
+
+        miou, _ = self.metrics.getIoU()
+        macc, _ = self.metrics.getAcc()
+        mrecall, _ = self.metrics.getRecall()
+        if self.recorder is not None:
+            for tag, v in [("Loss", loss_meter.avg), ("meanAcc", macc),
+                           ("meanIOU", miou), ("meanRecall", mrecall)]:
+                self.recorder.add_scalar(f"{mode}_{tag}", v, epoch)
+
+        return {"Acc": float(macc), "IOU": float(miou),
+                "Recall": float(mrecall), "last": 0.0,
+                "Loss": loss_meter.avg}
