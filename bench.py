@@ -1,0 +1,100 @@
+"""Benchmark: end-to-end SemanticKITTI-eval inference throughput on one chip.
+
+Measures the full per-scan pipeline of the flagship config (PMF-ResNet34,
+384×1232 eval resolution): on-device projection + z-buffer scatter +
+normalization + two-stream forward + argmax, on synthetic scans.
+
+Prints ONE JSON line {metric, value, unit, vs_baseline}.
+
+vs_baseline: the reference publishes no throughput (BASELINE.md); the
+north-star target is >2× an A100 running the reference at this config.
+We use A100_EST = 50 scans/sec (fp32, batch 1; public PMF/EPMF timing
+puts the torch pipeline at 20-60 FPS on high-end GPUs), so
+vs_baseline = value / (2 * 50) and >1.0 beats the target.
+"""
+import json
+import time
+
+import numpy as np
+
+A100_EST_SCANS_PER_SEC = 50.0
+TARGET = 2.0 * A100_EST_SCANS_PER_SEC
+
+BATCH = 2
+N_POINTS = 131072
+H, W = 384, 1232
+N_ITERS = 10
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: the driver re-runs bench each round
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from pmf_tpu.data import PVConfig, build_batch
+    from pmf_tpu.models import PMFNet
+
+    cfg = PVConfig(canvas_h=H, canvas_w=W + 16, proj_h=H, proj_w=W,
+                   h_pad=7, w_pad=3, n_points=N_POINTS)
+    rng = np.random.default_rng(0)
+    pts = np.zeros((BATCH, N_POINTS, 4), np.float32)
+    pts[..., 0] = rng.uniform(2, 70, (BATCH, N_POINTS))
+    pts[..., 1] = rng.uniform(-20, 20, (BATCH, N_POINTS))
+    pts[..., 2] = rng.uniform(-2, 1, (BATCH, N_POINTS))
+    pts[..., 3] = rng.uniform(0, 1, (BATCH, N_POINTS))
+    labels = rng.integers(0, 20, (BATCH, N_POINTS)).astype(np.int32)
+    valid = np.ones((BATCH, N_POINTS), bool)
+    fx = 720.0
+    proj = np.tile(np.array(
+        [[fx, -fx, 0, W * fx / 2], [0, 0, -fx, H * fx / 2], [1, 0, 0, 0]],
+        np.float32)[None], (BATCH, 1, 1))
+    image = rng.random((BATCH, H, W + 16, 3)).astype(np.float32)
+    img_h = np.full((BATCH,), H, np.int32)
+    img_w = np.full((BATCH,), W, np.int32)
+
+    model = PMFNet(nclasses=20, base_channels=32, image_backbone="resnet34")
+
+    # one fused init compile (eager init would trigger dozens of small
+    # compiles); conv param shapes don't depend on H/W, so init small
+    @jax.jit
+    def init_fn(key):
+        return model.init({"params": key, "dropout": jax.random.PRNGKey(1)},
+                          jnp.zeros((1, 64, 80, 5)), jnp.zeros((1, 64, 80, 3)),
+                          train=False)
+
+    variables = init_fn(jax.random.PRNGKey(0))
+
+    # variables passed as args (not closure constants) → stable compile
+    # cache key across runs
+    @jax.jit
+    def scan_pipeline(variables, points, labels, valid, proj_matrix, image,
+                      ih, iw):
+        f, m, l = build_batch(jax.random.PRNGKey(0), points, labels, valid,
+                              proj_matrix, image, ih, iw, cfg, False)
+        lidar, cam = model.apply(variables, f[..., :5], f[..., 5:8],
+                                 train=False)
+        return jnp.argmax(lidar, -1)
+
+    args = (variables,) + tuple(map(
+        jnp.asarray, (pts, labels, valid, proj, image, img_h, img_w)))
+    out = jax.block_until_ready(scan_pipeline(*args))  # compile
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        out = scan_pipeline(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / N_ITERS
+    scans_per_sec = BATCH / dt
+
+    print(json.dumps({
+        "metric": "pmf_r34_kitti_eval_scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/sec",
+        "vs_baseline": round(scans_per_sec / TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,9 @@ class HostLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
+        """Yields stacked batches. With drop_last=False the final short
+        batch is padded (repeating its last sample) to keep shapes static
+        for jit; `batch_valid` [B] marks real samples."""
         idx = self._indices()
         n_batches = len(self)
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -106,4 +109,12 @@ class HostLoader:
                     futures.append(submit_batch(submitted))
                     submitted += 1
                 samples = [f.result() for f in futures[b]]
-                yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+                n_real = len(samples)
+                while len(samples) < self.batch_size:
+                    samples.append(samples[-1])
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+                bv = np.zeros((self.batch_size,), bool)
+                bv[:n_real] = True
+                batch["batch_valid"] = bv
+                yield batch

@@ -54,17 +54,21 @@ class BatchNorm(nn.Module):
     statistics are global-batch statistics — XLA inserts the cross-replica
     reduction. This *is* the SyncBN the reference hand-built with thread
     pipes (pc_processor/layers/sync_bn.py:40-133).
+
+    Mixed precision: statistics and affine run in f32 regardless of the
+    activation dtype; the output is cast back to `dtype`.
     """
     use_running_average: bool | None = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None):
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
-        # stats in f32 even when activations are bf16
-        return nn.BatchNorm(use_running_average=ura, momentum=0.9,
-                            epsilon=1e-5, dtype=jnp.float32,
-                            param_dtype=jnp.float32)(x)
+        y = nn.BatchNorm(use_running_average=ura, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return y.astype(self.dtype)
 
 
 class Dropout2d(nn.Module):

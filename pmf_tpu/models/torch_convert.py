@@ -1,0 +1,109 @@
+"""torchvision → flax weight conversion for the ResNet camera encoder.
+
+Parity: pc_processor/models/pmf_net.py:69-72 — the reference copies the
+ImageNet-pretrained torchvision state_dict into the encoder, keeping the
+7×7 conv1 weights in a stride-1 conv. Here we convert a torchvision
+ResNet state_dict (a `.pth` of tensors, or an `.npz` with the same key
+names) into our flax parameter tree:
+
+  conv weights:  torch [O, I, Kh, Kw] → flax [Kh, Kw, I, O]
+  bn params:     weight→scale, bias→bias; running stats → batch_stats
+  layer naming:  torch layer{s}.{i}.conv{j} → flax layer{s}_{i}/conv{j}
+  downsample:    torch layer{s}.{i}.downsample.{0,1} →
+                 flax layer{s}_{i}/downsample_{conv,bn}
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _load_state_dict(path: str) -> dict:
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def convert_resnet_state_dict(sd: dict) -> tuple[dict, dict]:
+    """Return (params, batch_stats) flax subtrees for ResNetEncoder."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def conv_w(v):
+        return np.transpose(v, (2, 3, 1, 0))
+
+    for key, v in sd.items():
+        v = np.asarray(v)
+        parts = key.split(".")
+        if parts[0] == "conv1" and parts[1] == "weight":
+            put(params, ("conv1", "kernel"), conv_w(v))
+        elif parts[0] == "bn1":
+            _put_bn(params, stats, ("bn1",), parts[1], v, put)
+        elif parts[0].startswith("layer"):
+            stage = parts[0]          # layer1
+            blk = parts[1]            # 0..n
+            mod = parts[2]            # conv1 / bn1 / downsample
+            name = f"{stage}_{blk}"
+            if mod.startswith("conv"):
+                put(params, (name, mod, "kernel"), conv_w(v))
+            elif mod.startswith("bn"):
+                _put_bn(params, stats, (name, mod), parts[3], v, put)
+            elif mod == "downsample":
+                sub = parts[3]
+                if parts[2 + 1] == "0":  # conv
+                    put(params, (name, "downsample_conv", "kernel"), conv_w(v))
+                else:  # "1" → bn
+                    _put_bn(params, stats, (name, "downsample_bn"),
+                            parts[4], v, put)
+    return params, stats
+
+
+def _put_bn(params, stats, prefix, field, v, put):
+    # our BatchNorm module wraps flax nn.BatchNorm under scope 'BatchNorm_0'
+    p = prefix + ("BatchNorm_0",)
+    if field == "weight":
+        put(params, p + ("scale",), v)
+    elif field == "bias":
+        put(params, p + ("bias",), v)
+    elif field == "running_mean":
+        put(stats, p + ("mean",), v)
+    elif field == "running_var":
+        put(stats, p + ("var",), v)
+
+
+def load_pretrained_resnet_into(variables: dict, path: str, backbone: str,
+                                encoder_key: str = "camera_stream_encoder",
+                                log=None) -> dict:
+    """Load converted torchvision weights into the full model variables.
+
+    Tolerant like the reference partial load (tasks/pmf/main.py:55-66):
+    only matching-shape leaves are copied (e.g. a 3-channel conv1 kernel
+    only if in_channels == 3).
+    """
+    import flax
+
+    sd = _load_state_dict(path)
+    params, stats = convert_resnet_state_dict(sd)
+
+    var = flax.core.unfreeze(variables) if hasattr(variables, "unfreeze") \
+        else dict(variables)
+    from ..train.checkpoint import partial_load
+
+    merged_p = partial_load(dict(var["params"][encoder_key]), params, log)
+    var["params"] = dict(var["params"])
+    var["params"][encoder_key] = merged_p
+    if "batch_stats" in var and stats:
+        merged_s = partial_load(dict(var["batch_stats"][encoder_key]), stats, log)
+        var["batch_stats"] = dict(var["batch_stats"])
+        var["batch_stats"][encoder_key] = merged_s
+    return var

@@ -48,8 +48,9 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     if data == -1:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    return Mesh(devices.reshape(-1)[: data * model].reshape(data, model),
+                axis_names=("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -112,17 +112,22 @@ def make_pmf_train_step(model, tx, cfg: LossConfig):
 
 def make_pmf_eval_step(model, cfg: LossConfig):
     @jax.jit
-    def eval_step(state: TrainState, feature, label):
+    def eval_step(state: TrainState, feature, label, sample_valid=None):
         pcd = feature[..., 0:5]
         img = feature[..., 5:8]
         lidar_pred, camera_pred = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             pcd, img, train=False)
         _, aux = pmf_losses(lidar_pred, camera_pred, label, cfg)
+        valid = None
+        if sample_valid is not None:
+            # final val batches are padded to a full batch (loader); mask
+            # padded samples out of the metrics
+            valid = jnp.broadcast_to(sample_valid[:, None, None], label.shape)
         aux["conf"] = confusion_matrix(
-            jnp.argmax(lidar_pred, -1), label, cfg.nclasses)
+            jnp.argmax(lidar_pred, -1), label, cfg.nclasses, valid)
         aux["conf_cam"] = confusion_matrix(
-            jnp.argmax(camera_pred, -1), label, cfg.nclasses)
+            jnp.argmax(camera_pred, -1), label, cfg.nclasses, valid)
         return aux, lidar_pred
 
     return eval_step
@@ -166,12 +171,16 @@ def make_salsanext_train_step(model, tx, cfg: LossConfig):
 
 def make_salsanext_eval_step(model, cfg: LossConfig):
     @jax.jit
-    def eval_step(state: TrainState, feature, label):
+    def eval_step(state: TrainState, feature, label, sample_valid=None):
         pred = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             feature, train=False)
         _, aux = salsanext_losses(pred, label, cfg)
-        aux["conf"] = confusion_matrix(jnp.argmax(pred, -1), label, cfg.nclasses)
+        valid = None
+        if sample_valid is not None:
+            valid = jnp.broadcast_to(sample_valid[:, None, None], label.shape)
+        aux["conf"] = confusion_matrix(jnp.argmax(pred, -1), label,
+                                       cfg.nclasses, valid)
         return aux, pred
 
     return eval_step

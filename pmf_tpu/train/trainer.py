@@ -128,12 +128,17 @@ class Trainer:
             val_reader = range_sample_reader(valset, self.range_cfg)
 
         pi, pc = jax.process_index(), jax.process_count()
+        # batch_size in the config is PER-DEVICE (reference: per-GPU,
+        # config_server_kitti.yaml:14); the global batch spans the mesh
+        data_par = self.mesh.shape["data"]
         self.train_loader = HostLoader(
-            train_reader, len(trainset), opts.batch_size[0], shuffle=True,
+            train_reader, len(trainset), opts.batch_size[0] * data_par,
+            shuffle=True,
             drop_last=True, seed=opts.seed, num_workers=opts.n_threads,
             process_index=pi, process_count=pc)
         self.val_loader = HostLoader(
-            val_reader, len(valset), opts.batch_size[1], shuffle=False,
+            val_reader, len(valset), opts.batch_size[1] * data_par,
+            shuffle=False,
             drop_last=False, num_workers=opts.n_threads,
             process_index=pi, process_count=pc)
 
@@ -160,10 +165,11 @@ class Trainer:
         else:
             h, w = self.range_cfg.proj_h, self.range_cfg.proj_w
             example = (jnp.zeros((1, h, w, 5)),)
-        variables = self.model.init(
-            {"params": jax.random.PRNGKey(opts.seed),
-             "dropout": jax.random.PRNGKey(opts.seed + 1)},
-            *example, train=False)
+        # one fused init compile (eager init triggers dozens of small
+        # per-op compiles, very slow through the remote-compile path)
+        variables = jax.jit(lambda k: self.model.init(
+            {"params": k, "dropout": jax.random.PRNGKey(opts.seed + 1)},
+            *example, train=False))(jax.random.PRNGKey(opts.seed))
 
         if opts.pretrained_weights and self.is_fusion:
             from ..models.torch_convert import load_pretrained_resnet_into
@@ -235,7 +241,8 @@ class Trainer:
             if train:
                 self.state, aux = self.train_step(self.state, feature, label, kd)
             else:
-                aux, _ = self.eval_step(self.state, feature, label)
+                aux, _ = self.eval_step(self.state, feature, label,
+                                        jnp.asarray(batch["batch_valid"]))
 
             loss = float(aux["loss"])
             loss_meter.update(loss, feature.shape[0])
