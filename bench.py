@@ -55,7 +55,8 @@ def main():
     img_h = np.full((BATCH,), H, np.int32)
     img_w = np.full((BATCH,), W, np.int32)
 
-    model = PMFNet(nclasses=20, base_channels=32, image_backbone="resnet34")
+    model = PMFNet(nclasses=20, base_channels=32, image_backbone="resnet34",
+                   dtype=jnp.bfloat16)
 
     # one fused init compile (eager init would trigger dozens of small
     # compiles); conv param shapes don't depend on H/W, so init small

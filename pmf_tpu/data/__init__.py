@@ -8,7 +8,8 @@ from .range_pipeline import (
     RangeConfig, build_range_batch, build_range_sample_with_uproj,
     range_project,
 )
-from .loader import HostLoader, kitti_sample_reader
+from .loader import HostLoader, kitti_sample_reader, nuscenes_sample_reader
+from .nuscenes import Nuscenes, NuScenesLite
 
 __all__ = [
     "AugmentConfig", "augment_pointcloud",
@@ -17,5 +18,6 @@ __all__ = [
     "pad_points", "pad_image", "normalize_feature", "project_to_canvas",
     "RangeConfig", "build_range_batch", "build_range_sample_with_uproj",
     "range_project",
-    "HostLoader", "kitti_sample_reader",
+    "HostLoader", "kitti_sample_reader", "nuscenes_sample_reader",
+    "Nuscenes", "NuScenesLite",
 ]

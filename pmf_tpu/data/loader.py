@@ -38,6 +38,26 @@ def kitti_sample_reader(dataset, cfg: PVConfig) -> Callable[[int], dict]:
     return read
 
 
+def nuscenes_sample_reader(dataset, cfg: PVConfig) -> Callable[[int], dict]:
+    """Reader for the nuScenes adapter: per-item composed projection
+    matrix (6 camera pairings per keyframe)."""
+
+    def read(index: int) -> dict:
+        pcd, sem, _ = dataset.loadDataByIndex(index)
+        sem = dataset.labelMapping(sem)
+        points, labels, valid = pad_points(pcd, sem, cfg.n_points)
+        img = dataset.loadImage(index)
+        image, img_h, img_w = pad_image(img, cfg.canvas_h, cfg.canvas_w)
+        return {
+            "points": points, "labels": labels, "valid": valid,
+            "proj_matrix": dataset.projection_matrix(index).astype(np.float32),
+            "image": image, "img_h": img_h, "img_w": img_w,
+            "index": np.int32(index),
+        }
+
+    return read
+
+
 def range_sample_reader(dataset, cfg) -> Callable[[int], dict]:
     """Reader for the spherical range pipeline (no image)."""
 

@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.projection import perspective_project
-from ..ops.scatter import scatter_to_image, zbuffer_scatter
+from ..ops.projection import perspective_project, perspective_project_cam
+from ..ops.scatter import fill_canvas, zbuffer_scatter_packed
 from .augment import AugmentConfig, augment_pointcloud
 
 
@@ -53,6 +53,8 @@ class PVConfig:
     img_mean: tuple = (12.12, 10.88, 0.23, -1.04, 0.21)
     img_stds: tuple = (12.32, 11.47, 6.91, 0.86, 0.16)
     pcd_aug: bool = False   # ref trainer.py:142 (PMF: no pcd aug)
+    projection: str = "kitti"  # "kitti" (x>0.5, loose bounds) | "cam" (nuScenes)
+    min_depth: float = 1.0     # cam mode: min camera-frame depth
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
     @property
@@ -93,15 +95,23 @@ def project_to_canvas(points, labels, valid, proj_matrix, image,
     Returns dict with canvas-shaped planes + per-point projection data
     (used by eval unprojection, loader `return_uproj` mode :133-135).
     """
-    rows, cols, keep = perspective_project(points[:, :3], proj_matrix,
-                                           img_h, img_w, valid)
-    depth = jnp.linalg.norm(points[:, :3], axis=-1)
-    winner, mask = zbuffer_scatter(rows, cols, depth, keep,
-                                   cfg.canvas_h, cfg.canvas_w)
-    xyzi = scatter_to_image(points, winner, mask)          # [Hc, Wc, 4]
-    d = scatter_to_image(depth, winner, mask)              # [Hc, Wc]
-    lab = scatter_to_image(labels, winner, mask).astype(jnp.int32)
-    feature = jnp.concatenate([d[..., None], xyzi, image], axis=-1)  # 8ch
+    if cfg.projection == "cam":
+        rows, cols, keep = perspective_project_cam(
+            points[:, :3], proj_matrix, img_h, img_w,
+            min_depth=cfg.min_depth, valid=valid)
+    else:
+        rows, cols, keep = perspective_project(points[:, :3], proj_matrix,
+                                               img_h, img_w, valid)
+    depth = jnp.linalg.norm(points[:, : 3], axis=-1)
+    winner, mask = zbuffer_scatter_packed(rows, cols, depth, keep,
+                                          cfg.canvas_h, cfg.canvas_w)
+    # one fused scatter of [depth, x, y, z, i, label] — no per-plane passes
+    vals = jnp.concatenate(
+        [depth[:, None], points[:, :4], labels[:, None].astype(jnp.float32)],
+        axis=-1)
+    canvas = fill_canvas(vals, rows, cols, keep, winner, mask)  # [Hc, Wc, 6]
+    feature = jnp.concatenate([canvas[..., :5], image], axis=-1)  # 8ch
+    lab = canvas[..., 5].astype(jnp.int32)
     return {
         "feature": feature,
         "mask": mask,
@@ -112,14 +122,23 @@ def project_to_canvas(points, labels, valid, proj_matrix, image,
 
 
 def _affine_sample(planes: dict, src_y, src_x, in_bounds):
-    """Nearest-gather feature/mask/label at float source coords."""
+    """Nearest-gather feature/mask/label at float source coords.
+
+    All planes are packed into one [Hc, Wc, 10] canvas so the resample is
+    a single gather (TPU random gathers cost per row, not per channel).
+    """
     Hc, Wc = planes["mask"].shape
     iy = jnp.clip(jnp.round(src_y).astype(jnp.int32), 0, Hc - 1)
     ix = jnp.clip(jnp.round(src_x).astype(jnp.int32), 0, Wc - 1)
-    feat = planes["feature"][iy, ix]
-    feat = jnp.where(in_bounds[..., None], feat, 0.0)
-    mask = jnp.where(in_bounds, planes["mask"][iy, ix], False)
-    lab = jnp.where(in_bounds, planes["label"][iy, ix], 0)
+    packed = jnp.concatenate(
+        [planes["feature"],
+         planes["mask"][..., None].astype(planes["feature"].dtype),
+         planes["label"][..., None].astype(planes["feature"].dtype)], axis=-1)
+    out = packed[iy, ix]
+    out = jnp.where(in_bounds[..., None], out, 0.0)
+    feat = out[..., :8]
+    mask = out[..., 8] > 0.5
+    lab = out[..., 9].astype(jnp.int32)
     return feat, mask, lab
 
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.projection import spherical_project
-from ..ops.scatter import scatter_to_image, zbuffer_scatter
+from ..ops.scatter import fill_canvas, zbuffer_scatter_packed
 from .augment import AugmentConfig, augment_pointcloud
 
 
@@ -52,15 +52,16 @@ def range_project(points, labels, valid, cfg: RangeConfig):
     px, py, depth, keep = spherical_project(
         points, cfg.fov_up, cfg.fov_down, cfg.proj_h, cfg.proj_w,
         cfg.fov_left, cfg.fov_right, valid)
-    winner, mask = zbuffer_scatter(py, px, depth, keep, cfg.proj_h, cfg.proj_w)
-    xyzi = scatter_to_image(points[:, :4], winner, mask, fill=-1.0)
-    rng = scatter_to_image(depth, winner, mask, fill=-1.0)
-    lab = scatter_to_image(labels, winner, mask).astype(jnp.int32)
-
-    intensity = xyzi[..., 3]
-    intensity = jnp.where(intensity == -1.0, 0.0, intensity)  # loader :70
+    winner, mask = zbuffer_scatter_packed(py, px, depth, keep,
+                                          cfg.proj_h, cfg.proj_w)
+    vals = jnp.concatenate(
+        [depth[:, None], points[:, :4], labels[:, None].astype(jnp.float32)],
+        axis=-1)
+    canvas = fill_canvas(vals, py, px, keep, winner, mask)  # [H, W, 6]
+    rng = jnp.where(mask, canvas[..., 0], -1.0)
+    lab = canvas[..., 5].astype(jnp.int32)
     feature = jnp.concatenate(
-        [rng[..., None], xyzi[..., :3], intensity[..., None]], axis=-1)
+        [rng[..., None], canvas[..., 1:5]], axis=-1)  # range,x,y,z,i
     return {"feature": feature, "label": lab, "mask": mask,
             "proj_range": rng, "px": px, "py": py, "depth": depth,
             "keep": keep}

@@ -55,6 +55,7 @@ class SparseVariantConv(nn.Module):
     padding: int = 1
     stride: int = 1
     dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask):
@@ -62,7 +63,8 @@ class SparseVariantConv(nn.Module):
         new_mask = _dilate_mask(mask, self.kernel, self.stride, self.dilation,
                                 (self.padding, self.padding))
         y = Conv(self.features, (self.kernel, self.kernel), stride=self.stride,
-                 padding=self.padding, dilation=self.dilation, name="conv")(x)
+                 padding=self.padding, dilation=self.dilation,
+                 dtype=self.dtype, name="conv")(x)
         extra_bias = self.param("bias", nn.initializers.zeros,
                                 (self.features,), jnp.float32)
         y = y + extra_bias
@@ -73,31 +75,39 @@ class SparseResContextBlock(nn.Module):
     """Sparse context block. Parity: epmf_net.py:52-80."""
     features: int
     stride: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        dt = self.dtype
+        x = x.astype(dt)
         mask = (jnp.abs(x).sum(axis=-1, keepdims=True) != 0).astype(x.dtype)
         shortcut, mask = SparseVariantConv(self.features, 3, padding=1,
-                                           stride=self.stride, name="conv1")(x, mask)
+                                           stride=self.stride, dtype=dt,
+                                           name="conv1")(x, mask)
         shortcut = leaky_relu(shortcut)
-        resA, mask = SparseVariantConv(self.features, 3, padding=1,
+        resA, mask = SparseVariantConv(self.features, 3, padding=1, dtype=dt,
                                        name="conv2")(shortcut, mask)
-        resA1 = BatchNorm(name="bn1")(leaky_relu(resA), use_running_average=not train)
+        resA1 = BatchNorm(dtype=dt, name="bn1")(leaky_relu(resA),
+                                                use_running_average=not train)
         resA, mask = SparseVariantConv(self.features, 3, padding=2, dilation=2,
-                                       name="conv3")(resA1, mask)
-        resA2 = BatchNorm(name="bn2")(leaky_relu(resA), use_running_average=not train)
+                                       dtype=dt, name="conv3")(resA1, mask)
+        resA2 = BatchNorm(dtype=dt, name="bn2")(leaky_relu(resA),
+                                                use_running_average=not train)
         return (shortcut + resA2) * mask
 
 
 class ExtraUpSample(nn.Module):
     """conv → LReLU → BN → PixelShuffle(2). Parity: epmf_net.py:97-102."""
     conv_features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = Conv(self.conv_features, (3, 3), padding=1, name="conv")(x)
+        x = Conv(self.conv_features, (3, 3), padding=1, dtype=self.dtype,
+                 name="conv")(x)
         x = leaky_relu(x)
-        x = BatchNorm(name="bn")(x, use_running_average=not train)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
         return pixel_shuffle(x, 2)
 
 
@@ -107,45 +117,52 @@ class SalsaNextFusionV2(nn.Module):
     base_channels: int = 32
     dropout_rate: float = 0.2
     softmax: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, img_features, train: bool = False):
         bc = self.base_channels
-        c = SparseResContextBlock(bc, name="downCntx")(x, train)
-        c = SparseResContextBlock(bc, name="downCntx2")(c, train)
-        c = SparseResContextBlock(bc, stride=2, name="downCntx3")(c, train)
+        dt = self.dtype
+        c = SparseResContextBlock(bc, dtype=dt, name="downCntx")(x, train)
+        c = SparseResContextBlock(bc, dtype=dt, name="downCntx2")(c, train)
+        c = SparseResContextBlock(bc, stride=2, dtype=dt, name="downCntx3")(c, train)
 
-        c = ResidualBasedFusionBlock(bc, name="fusionblock_1")(
+        c = ResidualBasedFusionBlock(bc, dtype=dt, name="fusionblock_1")(
             c, img_features[0], train)
         down0c, down0b = ResBlock(2 * bc, self.dropout_rate, pooling=True,
-                                  drop_out=False, name="resBlock1")(c, train)
+                                  drop_out=False, dtype=dt,
+                                  name="resBlock1")(c, train)
 
-        down0c = ResidualBasedFusionBlock(2 * bc, name="fusionblock_2")(
+        down0c = ResidualBasedFusionBlock(2 * bc, dtype=dt, name="fusionblock_2")(
             down0c, img_features[1], train)
-        down1c, down1b = ResBlock(4 * bc, self.dropout_rate,
+        down1c, down1b = ResBlock(4 * bc, self.dropout_rate, dtype=dt,
                                   name="resBlock2")(down0c, train)
 
-        down1c = ResidualBasedFusionBlock(4 * bc, name="fusionblock_3")(
+        down1c = ResidualBasedFusionBlock(4 * bc, dtype=dt, name="fusionblock_3")(
             down1c, img_features[2], train)
-        down2c, down2b = ResBlock(8 * bc, self.dropout_rate,
+        down2c, down2b = ResBlock(8 * bc, self.dropout_rate, dtype=dt,
                                   name="resBlock3")(down1c, train)
 
-        down2c = ResidualBasedFusionBlock(8 * bc, name="fusionblock_4")(
+        down2c = ResidualBasedFusionBlock(8 * bc, dtype=dt, name="fusionblock_4")(
             down2c, img_features[3], train)
-        down3c, down3b = ResBlock(8 * bc, self.dropout_rate,
+        down3c, down3b = ResBlock(8 * bc, self.dropout_rate, dtype=dt,
                                   name="resBlock4")(down2c, train)
 
-        down5c = ResBlock(8 * bc, self.dropout_rate, pooling=False,
+        down5c = ResBlock(8 * bc, self.dropout_rate, pooling=False, dtype=dt,
                           name="resBlock5")(down3c, train)
-        down5c = ASPP(8 * bc, name="aspp")(down5c)
+        down5c = ASPP(8 * bc, dtype=dt, name="aspp")(down5c)
 
-        up4e = UpBlock(4 * bc, self.dropout_rate, name="upBlock1")(down5c, down3b, train)
-        up3e = UpBlock(4 * bc, self.dropout_rate, name="upBlock2")(up4e, down2b, train)
-        up2e = UpBlock(2 * bc, self.dropout_rate, name="upBlock3")(up3e, down1b, train)
-        up1e = UpBlock(bc, self.dropout_rate, drop_out=False,
+        up4e = UpBlock(4 * bc, self.dropout_rate, dtype=dt,
+                       name="upBlock1")(down5c, down3b, train)
+        up3e = UpBlock(4 * bc, self.dropout_rate, dtype=dt,
+                       name="upBlock2")(up4e, down2b, train)
+        up2e = UpBlock(2 * bc, self.dropout_rate, dtype=dt,
+                       name="upBlock3")(up3e, down1b, train)
+        up1e = UpBlock(bc, self.dropout_rate, drop_out=False, dtype=dt,
                        name="upBlock4")(up2e, down0b, train)
-        up1e = ExtraUpSample(4 * bc, name="extraUpSample")(up1e, train)
-        logits = Conv(self.nclasses, (1, 1), name="logits")(up1e)
+        up1e = ExtraUpSample(4 * bc, dtype=dt, name="extraUpSample")(up1e, train)
+        logits = Conv(self.nclasses, (1, 1), dtype=dt,
+                      name="logits")(up1e).astype(jnp.float32)
         if self.softmax:
             return jax.nn.softmax(logits, axis=-1), down5c
         return logits, down5c
@@ -160,19 +177,21 @@ class RGBDecoderV2(nn.Module):
     base_channels: int = 64
     lidar_base_channels: int = 32
     aspp_depth: int = 512  # = in_channels[3] of the encoder
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, lidar_feature, train: bool = False):
+        dt = self.dtype
         lbc = self.lidar_base_channels
-        lid = ExtraUpSample(8 * lbc, name="extraUpSample")(lidar_feature, train)
-        img4 = ASPP(self.aspp_depth, name="aspp")(inputs[3])
+        lid = ExtraUpSample(8 * lbc, dtype=dt, name="extraUpSample")(lidar_feature, train)
+        img4 = ASPP(self.aspp_depth, dtype=dt, name="aspp")(inputs[3])
         fuse = jnp.concatenate([lid, img4], axis=-1)
 
         def up_stage(x, name, kernel=(3, 3), padding=1):
-            x = Conv(self.base_channels, kernel, padding=padding,
+            x = Conv(self.base_channels, kernel, padding=padding, dtype=dt,
                      name=f"{name}_conv")(x)
             x = leaky_relu(x)
-            x = BatchNorm(name=f"{name}_bn")(x, use_running_average=not train)
+            x = BatchNorm(dtype=dt, name=f"{name}_bn")(x, use_running_average=not train)
             return upsample_bilinear(x, 2)
 
         up4 = up_stage(fuse, "up_4a")
@@ -180,7 +199,8 @@ class RGBDecoderV2(nn.Module):
         up2 = up_stage(jnp.concatenate([up3, inputs[1]], -1), "up_2a")
         up1 = up_stage(jnp.concatenate([up2, inputs[0]], -1), "up_1a",
                        kernel=(1, 1), padding=0)
-        out = Conv(self.nclasses, (3, 3), padding=1, name="conv")(up1)
+        out = Conv(self.nclasses, (3, 3), padding=1, dtype=dt,
+                   name="conv")(up1).astype(jnp.float32)
         return jax.nn.softmax(out, axis=-1)
 
 
@@ -194,18 +214,21 @@ class EPMFNet(nn.Module):
     base_channels: int = 32
     image_backbone: str = "resnet34"
     dropout_rate: float = 0.2
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.camera_stream_encoder = ResNetEncoder(
-            backbone=self.image_backbone, dropout_rate=self.dropout_rate)
+            backbone=self.image_backbone, dropout_rate=self.dropout_rate,
+            dtype=self.dtype)
         self.camera_stream_decoder = RGBDecoderV2(
             nclasses=self.nclasses,
             base_channels=self.camera_stream_encoder.expansion * 16,
             lidar_base_channels=self.base_channels,
-            aspp_depth=self.camera_stream_encoder.feature_channels[3])
+            aspp_depth=self.camera_stream_encoder.feature_channels[3],
+            dtype=self.dtype)
         self.lidar_stream = SalsaNextFusionV2(
             nclasses=self.nclasses, base_channels=self.base_channels,
-            dropout_rate=self.dropout_rate)
+            dropout_rate=self.dropout_rate, dtype=self.dtype)
 
     def __call__(self, pcd_feature, img_feature, train: bool = False):
         img_feats = self.camera_stream_encoder(img_feature, train)

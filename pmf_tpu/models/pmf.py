@@ -27,19 +27,25 @@ class ResidualBasedFusionBlock(nn.Module):
     """Attention-gated residual fusion of camera features into the lidar
     stream. Parity: pmf_net.py:10-36."""
     pcd_channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, pcd_feature, img_feature, train: bool):
-        cat = jnp.concatenate([pcd_feature, img_feature], axis=-1)
-        fused = Conv(self.pcd_channels, (3, 3), padding=1, name="fuse_conv")(cat)
+        dt = self.dtype
+        cat = jnp.concatenate([pcd_feature, img_feature.astype(pcd_feature.dtype)],
+                              axis=-1)
+        fused = Conv(self.pcd_channels, (3, 3), padding=1, dtype=dt,
+                     name="fuse_conv")(cat)
         fused = leaky_relu(fused)
-        fused = BatchNorm(name="fuse_bn")(fused, use_running_average=not train)
+        fused = BatchNorm(dtype=dt, name="fuse_bn")(fused, use_running_average=not train)
 
-        att = Conv(self.pcd_channels, (3, 3), padding=1, name="att_conv1")(fused)
-        att = BatchNorm(name="att_bn1")(att, use_running_average=not train)
+        att = Conv(self.pcd_channels, (3, 3), padding=1, dtype=dt,
+                   name="att_conv1")(fused)
+        att = BatchNorm(dtype=dt, name="att_bn1")(att, use_running_average=not train)
         att = nn.relu(att)
-        att = Conv(self.pcd_channels, (3, 3), padding=1, name="att_conv2")(att)
-        att = BatchNorm(name="att_bn2")(att, use_running_average=not train)
+        att = Conv(self.pcd_channels, (3, 3), padding=1, dtype=dt,
+                   name="att_conv2")(att)
+        att = BatchNorm(dtype=dt, name="att_bn2")(att, use_running_average=not train)
         att = nn.sigmoid(att)
         return fused * att + pcd_feature
 
@@ -47,23 +53,25 @@ class ResidualBasedFusionBlock(nn.Module):
 class ASPP(nn.Module):
     """Atrous spatial pyramid pooling. Parity: pmf_net.py:103-138."""
     depth: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         h, w = x.shape[1], x.shape[2]
         gp = x.mean(axis=(1, 2), keepdims=True)
-        gp = Conv(self.depth, (1, 1), name="conv")(gp)
+        gp = Conv(self.depth, (1, 1), dtype=dt, name="conv")(gp)
         gp = jnp.broadcast_to(gp, (x.shape[0], h, w, self.depth))
 
-        b1 = Conv(self.depth, (1, 1), name="atrous_block1")(x)
-        b6 = Conv(self.depth, (3, 3), padding=6, dilation=6,
+        b1 = Conv(self.depth, (1, 1), dtype=dt, name="atrous_block1")(x)
+        b6 = Conv(self.depth, (3, 3), padding=6, dilation=6, dtype=dt,
                   name="atrous_block6")(x)
-        b12 = Conv(self.depth, (3, 3), padding=12, dilation=12,
+        b12 = Conv(self.depth, (3, 3), padding=12, dilation=12, dtype=dt,
                    name="atrous_block12")(x)
-        b18 = Conv(self.depth, (3, 3), padding=18, dilation=18,
+        b18 = Conv(self.depth, (3, 3), padding=18, dilation=18, dtype=dt,
                    name="atrous_block18")(x)
         cat = jnp.concatenate([gp, b1, b6, b12, b18], axis=-1)
-        return Conv(self.depth, (1, 1), name="conv_1x1_output")(cat)
+        return Conv(self.depth, (1, 1), dtype=dt, name="conv_1x1_output")(cat)
 
 
 class SalsaNextFusion(nn.Module):
@@ -76,44 +84,52 @@ class SalsaNextFusion(nn.Module):
     base_channels: int = 32
     dropout_rate: float = 0.2
     softmax: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, img_features, train: bool = False):
         bc = self.base_channels
-        c = ResContextBlock(bc, name="downCntx")(x, train)
-        c = ResContextBlock(bc, name="downCntx2")(c, train)
-        c = ResContextBlock(bc, name="downCntx3")(c, train)
+        dt = self.dtype
+        x = x.astype(dt)
+        c = ResContextBlock(bc, dtype=dt, name="downCntx")(x, train)
+        c = ResContextBlock(bc, dtype=dt, name="downCntx2")(c, train)
+        c = ResContextBlock(bc, dtype=dt, name="downCntx3")(c, train)
 
         down0c, down0b = ResBlock(2 * bc, self.dropout_rate, pooling=True,
-                                  drop_out=False, name="resBlock1")(c, train)
-        down0c = ResidualBasedFusionBlock(2 * bc, name="fusionblock_1")(
+                                  drop_out=False, dtype=dt,
+                                  name="resBlock1")(c, train)
+        down0c = ResidualBasedFusionBlock(2 * bc, dtype=dt, name="fusionblock_1")(
             down0c, img_features[0], train)
 
-        down1c, down1b = ResBlock(4 * bc, self.dropout_rate,
+        down1c, down1b = ResBlock(4 * bc, self.dropout_rate, dtype=dt,
                                   name="resBlock2")(down0c, train)
-        down1c = ResidualBasedFusionBlock(4 * bc, name="fusionblock_2")(
+        down1c = ResidualBasedFusionBlock(4 * bc, dtype=dt, name="fusionblock_2")(
             down1c, img_features[1], train)
 
-        down2c, down2b = ResBlock(8 * bc, self.dropout_rate,
+        down2c, down2b = ResBlock(8 * bc, self.dropout_rate, dtype=dt,
                                   name="resBlock3")(down1c, train)
-        down2c = ResidualBasedFusionBlock(8 * bc, name="fusionblock_3")(
+        down2c = ResidualBasedFusionBlock(8 * bc, dtype=dt, name="fusionblock_3")(
             down2c, img_features[2], train)
 
-        down3c, down3b = ResBlock(8 * bc, self.dropout_rate,
+        down3c, down3b = ResBlock(8 * bc, self.dropout_rate, dtype=dt,
                                   name="resBlock4")(down2c, train)
-        down3c = ResidualBasedFusionBlock(8 * bc, name="fusionblock_4")(
+        down3c = ResidualBasedFusionBlock(8 * bc, dtype=dt, name="fusionblock_4")(
             down3c, img_features[3], train)
 
-        down5c = ResBlock(8 * bc, self.dropout_rate, pooling=False,
+        down5c = ResBlock(8 * bc, self.dropout_rate, pooling=False, dtype=dt,
                           name="resBlock5")(down3c, train)
-        down5c = ASPP(8 * bc, name="aspp")(down5c)
+        down5c = ASPP(8 * bc, dtype=dt, name="aspp")(down5c)
 
-        up4e = UpBlock(4 * bc, self.dropout_rate, name="upBlock1")(down5c, down3b, train)
-        up3e = UpBlock(4 * bc, self.dropout_rate, name="upBlock2")(up4e, down2b, train)
-        up2e = UpBlock(2 * bc, self.dropout_rate, name="upBlock3")(up3e, down1b, train)
-        up1e = UpBlock(bc, self.dropout_rate, drop_out=False,
+        up4e = UpBlock(4 * bc, self.dropout_rate, dtype=dt,
+                       name="upBlock1")(down5c, down3b, train)
+        up3e = UpBlock(4 * bc, self.dropout_rate, dtype=dt,
+                       name="upBlock2")(up4e, down2b, train)
+        up2e = UpBlock(2 * bc, self.dropout_rate, dtype=dt,
+                       name="upBlock3")(up3e, down1b, train)
+        up1e = UpBlock(bc, self.dropout_rate, drop_out=False, dtype=dt,
                        name="upBlock4")(up2e, down0b, train)
-        logits = Conv(self.nclasses, (1, 1), name="logits")(up1e)
+        logits = Conv(self.nclasses, (1, 1), dtype=dt,
+                      name="logits")(up1e).astype(jnp.float32)
         if self.softmax:
             return jax.nn.softmax(logits, axis=-1)
         return logits
@@ -123,14 +139,17 @@ class RGBDecoder(nn.Module):
     """Camera-stream FCN decoder. Parity: pmf_net.py:183-222."""
     nclasses: int = 20
     base_channels: int = 64
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
+        dt = self.dtype
+
         def up_stage(x, name, kernel=(3, 3), padding=1):
-            x = Conv(self.base_channels, kernel, padding=padding,
+            x = Conv(self.base_channels, kernel, padding=padding, dtype=dt,
                      name=f"{name}_conv")(x)
             x = leaky_relu(x)
-            x = BatchNorm(name=f"{name}_bn")(x, use_running_average=not train)
+            x = BatchNorm(dtype=dt, name=f"{name}_bn")(x, use_running_average=not train)
             return upsample_bilinear(x, 2)
 
         up4 = up_stage(inputs[3], "up_4a")
@@ -138,7 +157,8 @@ class RGBDecoder(nn.Module):
         up2 = up_stage(jnp.concatenate([up3, inputs[1]], -1), "up_2a")
         up1 = up_stage(jnp.concatenate([up2, inputs[0]], -1), "up_1a",
                        kernel=(1, 1), padding=0)
-        out = Conv(self.nclasses, (3, 3), padding=1, name="conv")(up1)
+        out = Conv(self.nclasses, (3, 3), padding=1, dtype=dt,
+                   name="conv")(up1).astype(jnp.float32)
         return jax.nn.softmax(out, axis=-1)
 
 
@@ -151,16 +171,19 @@ class PMFNet(nn.Module):
     base_channels: int = 32
     image_backbone: str = "resnet34"
     dropout_rate: float = 0.2
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.camera_stream_encoder = ResNetEncoder(
-            backbone=self.image_backbone, dropout_rate=self.dropout_rate)
+            backbone=self.image_backbone, dropout_rate=self.dropout_rate,
+            dtype=self.dtype)
         self.camera_stream_decoder = RGBDecoder(
             nclasses=self.nclasses,
-            base_channels=self.camera_stream_encoder.expansion * 16)
+            base_channels=self.camera_stream_encoder.expansion * 16,
+            dtype=self.dtype)
         self.lidar_stream = SalsaNextFusion(
             nclasses=self.nclasses, base_channels=self.base_channels,
-            dropout_rate=self.dropout_rate)
+            dropout_rate=self.dropout_rate, dtype=self.dtype)
 
     def __call__(self, pcd_feature, img_feature, train: bool = False):
         img_feats = self.camera_stream_encoder(img_feature, train)

@@ -31,21 +31,23 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        dt = self.dtype
         identity = x
         out = Conv(self.features, (3, 3), stride=self.stride, padding=1,
-                   use_bias=False, name="conv1")(x)
-        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+                   use_bias=False, dtype=dt, name="conv1")(x)
+        out = BatchNorm(dtype=dt, name="bn1")(out, use_running_average=not train)
         out = nn.relu(out)
         out = Conv(self.features, (3, 3), padding=1, use_bias=False,
-                   name="conv2")(out)
-        out = BatchNorm(name="bn2")(out, use_running_average=not train)
+                   dtype=dt, name="conv2")(out)
+        out = BatchNorm(dtype=dt, name="bn2")(out, use_running_average=not train)
         if self.downsample:
             identity = Conv(self.features, (1, 1), stride=self.stride,
-                            use_bias=False, name="downsample_conv")(x)
-            identity = BatchNorm(name="downsample_bn")(
+                            use_bias=False, dtype=dt, name="downsample_conv")(x)
+            identity = BatchNorm(dtype=dt, name="downsample_bn")(
                 identity, use_running_average=not train)
         return nn.relu(out + identity)
 
@@ -54,23 +56,26 @@ class Bottleneck(nn.Module):
     features: int  # width of the 3x3; output = features * 4
     stride: int = 1
     downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        dt = self.dtype
         identity = x
-        out = Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
-        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+        out = Conv(self.features, (1, 1), use_bias=False, dtype=dt, name="conv1")(x)
+        out = BatchNorm(dtype=dt, name="bn1")(out, use_running_average=not train)
         out = nn.relu(out)
         out = Conv(self.features, (3, 3), stride=self.stride, padding=1,
-                   use_bias=False, name="conv2")(out)
-        out = BatchNorm(name="bn2")(out, use_running_average=not train)
+                   use_bias=False, dtype=dt, name="conv2")(out)
+        out = BatchNorm(dtype=dt, name="bn2")(out, use_running_average=not train)
         out = nn.relu(out)
-        out = Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(out)
-        out = BatchNorm(name="bn3")(out, use_running_average=not train)
+        out = Conv(self.features * 4, (1, 1), use_bias=False, dtype=dt,
+                   name="conv3")(out)
+        out = BatchNorm(dtype=dt, name="bn3")(out, use_running_average=not train)
         if self.downsample:
             identity = Conv(self.features * 4, (1, 1), stride=self.stride,
-                            use_bias=False, name="downsample_conv")(x)
-            identity = BatchNorm(name="downsample_bn")(
+                            use_bias=False, dtype=dt, name="downsample_conv")(x)
+            identity = BatchNorm(dtype=dt, name="downsample_bn")(
                 identity, use_running_average=not train)
         return nn.relu(out + identity)
 
@@ -79,6 +84,7 @@ class ResNetEncoder(nn.Module):
     """4-stage feature extractor; returns [c1, c2, c3, c4]."""
     backbone: str = "resnet34"
     dropout_rate: float = 0.2
+    dtype: jnp.dtype = jnp.float32
 
     @property
     def expansion(self) -> int:
@@ -98,10 +104,11 @@ class ResNetEncoder(nn.Module):
         if h % 16 != 0 or w % 16 != 0:
             raise ValueError(f"invalid input size: {x.shape}")
 
+        x = x.astype(self.dtype)
         # stem: 7x7 stride-1 conv (PMF trick), BN, relu, 3x3/2 maxpool
         out = Conv(64, (7, 7), stride=1, padding=3, use_bias=False,
-                   name="conv1")(x)
-        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+                   dtype=self.dtype, name="conv1")(x)
+        out = BatchNorm(dtype=self.dtype, name="bn1")(out, use_running_average=not train)
         out = nn.relu(out)
         out = max_pool_3x3_s2(out)
 
@@ -114,6 +121,7 @@ class ResNetEncoder(nn.Module):
                 needs_ds = (i == 0) and (
                     stride != 1 or (stage == 0 and kind == "bottleneck"))
                 out = block_cls(width, stride=stride, downsample=needs_ds,
+                                dtype=self.dtype,
                                 name=f"layer{stage + 1}_{i}")(out, train)
             feats.append(out)
 

@@ -24,15 +24,18 @@ class ResContextBlock(nn.Module):
     Parity: salsanext.py:9-36 (note act→BN ordering).
     """
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        shortcut = leaky_relu(Conv(self.features, (1, 1), name="conv1")(x))
-        resA = leaky_relu(Conv(self.features, (3, 3), padding=1, name="conv2")(shortcut))
-        resA1 = BatchNorm(name="bn1")(resA, use_running_average=not train)
+        dt = self.dtype
+        shortcut = leaky_relu(Conv(self.features, (1, 1), dtype=dt, name="conv1")(x))
+        resA = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
+                               name="conv2")(shortcut))
+        resA1 = BatchNorm(dtype=dt, name="bn1")(resA, use_running_average=not train)
         resA = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
-                               name="conv3")(resA1))
-        resA2 = BatchNorm(name="bn2")(resA, use_running_average=not train)
+                               dtype=dt, name="conv3")(resA1))
+        resA2 = BatchNorm(dtype=dt, name="bn2")(resA, use_running_average=not train)
         return shortcut + resA2
 
 
@@ -46,21 +49,24 @@ class ResBlock(nn.Module):
     dropout_rate: float = 0.2
     pooling: bool = True
     drop_out: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        shortcut = leaky_relu(Conv(self.features, (1, 1), name="conv1")(x))
-        resA = leaky_relu(Conv(self.features, (3, 3), padding=1, name="conv2")(x))
-        resA1 = BatchNorm(name="bn1")(resA, use_running_average=not train)
+        dt = self.dtype
+        shortcut = leaky_relu(Conv(self.features, (1, 1), dtype=dt, name="conv1")(x))
+        resA = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
+                               name="conv2")(x))
+        resA1 = BatchNorm(dtype=dt, name="bn1")(resA, use_running_average=not train)
         resA = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
-                               name="conv3")(resA1))
-        resA2 = BatchNorm(name="bn2")(resA, use_running_average=not train)
+                               dtype=dt, name="conv3")(resA1))
+        resA2 = BatchNorm(dtype=dt, name="bn2")(resA, use_running_average=not train)
         resA = leaky_relu(Conv(self.features, (2, 2), padding=1, dilation=2,
-                               name="conv4")(resA2))
-        resA3 = BatchNorm(name="bn3")(resA, use_running_average=not train)
+                               dtype=dt, name="conv4")(resA2))
+        resA3 = BatchNorm(dtype=dt, name="bn3")(resA, use_running_average=not train)
         concat = jnp.concatenate([resA1, resA2, resA3], axis=-1)
-        resA = leaky_relu(Conv(self.features, (1, 1), name="conv5")(concat))
-        resA = BatchNorm(name="bn4")(resA, use_running_average=not train)
+        resA = leaky_relu(Conv(self.features, (1, 1), dtype=dt, name="conv5")(concat))
+        resA = BatchNorm(dtype=dt, name="bn4")(resA, use_running_average=not train)
         resA = shortcut + resA
 
         resB = resA
@@ -79,9 +85,11 @@ class UpBlock(nn.Module):
     features: int
     dropout_rate: float = 0.2
     drop_out: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip, train: bool):
+        dt = self.dtype
         det = not train
         upA = pixel_shuffle(x, 2)
         if self.drop_out:
@@ -90,17 +98,18 @@ class UpBlock(nn.Module):
         if self.drop_out:
             upB = Dropout2d(self.dropout_rate, name="dropout2")(upB, deterministic=det)
 
-        upE = leaky_relu(Conv(self.features, (3, 3), padding=1, name="conv1")(upB))
-        upE1 = BatchNorm(name="bn1")(upE, use_running_average=not train)
+        upE = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
+                              name="conv1")(upB))
+        upE1 = BatchNorm(dtype=dt, name="bn1")(upE, use_running_average=not train)
         upE = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
-                              name="conv2")(upE1))
-        upE2 = BatchNorm(name="bn2")(upE, use_running_average=not train)
+                              dtype=dt, name="conv2")(upE1))
+        upE2 = BatchNorm(dtype=dt, name="bn2")(upE, use_running_average=not train)
         upE = leaky_relu(Conv(self.features, (2, 2), padding=1, dilation=2,
-                              name="conv3")(upE2))
-        upE3 = BatchNorm(name="bn3")(upE, use_running_average=not train)
+                              dtype=dt, name="conv3")(upE2))
+        upE3 = BatchNorm(dtype=dt, name="bn3")(upE, use_running_average=not train)
         concat = jnp.concatenate([upE1, upE2, upE3], axis=-1)
-        upE = leaky_relu(Conv(self.features, (1, 1), name="conv4")(concat))
-        upE = BatchNorm(name="bn4")(upE, use_running_average=not train)
+        upE = leaky_relu(Conv(self.features, (1, 1), dtype=dt, name="conv4")(concat))
+        upE = BatchNorm(dtype=dt, name="bn4")(upE, use_running_average=not train)
         if self.drop_out:
             upE = Dropout2d(self.dropout_rate, name="dropout3")(upE, deterministic=det)
         return upE
@@ -116,24 +125,28 @@ class SalsaNext(nn.Module):
     base_channels: int = 32
     softmax: bool = True
     dropout_rate: float = 0.2
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         bc = self.base_channels
-        self.downCntx = ResContextBlock(bc)
-        self.downCntx2 = ResContextBlock(bc)
-        self.downCntx3 = ResContextBlock(bc)
-        self.resBlock1 = ResBlock(2 * bc, self.dropout_rate, pooling=True, drop_out=False)
-        self.resBlock2 = ResBlock(4 * bc, self.dropout_rate, pooling=True)
-        self.resBlock3 = ResBlock(8 * bc, self.dropout_rate, pooling=True)
-        self.resBlock4 = ResBlock(8 * bc, self.dropout_rate, pooling=True)
-        self.resBlock5 = ResBlock(8 * bc, self.dropout_rate, pooling=False)
-        self.upBlock1 = UpBlock(4 * bc, self.dropout_rate)
-        self.upBlock2 = UpBlock(4 * bc, self.dropout_rate)
-        self.upBlock3 = UpBlock(2 * bc, self.dropout_rate)
-        self.upBlock4 = UpBlock(bc, self.dropout_rate, drop_out=False)
-        self.logits = Conv(self.nclasses, (1, 1), name="logits")
+        dt = self.dtype
+        self.downCntx = ResContextBlock(bc, dtype=dt)
+        self.downCntx2 = ResContextBlock(bc, dtype=dt)
+        self.downCntx3 = ResContextBlock(bc, dtype=dt)
+        self.resBlock1 = ResBlock(2 * bc, self.dropout_rate, pooling=True,
+                                  drop_out=False, dtype=dt)
+        self.resBlock2 = ResBlock(4 * bc, self.dropout_rate, pooling=True, dtype=dt)
+        self.resBlock3 = ResBlock(8 * bc, self.dropout_rate, pooling=True, dtype=dt)
+        self.resBlock4 = ResBlock(8 * bc, self.dropout_rate, pooling=True, dtype=dt)
+        self.resBlock5 = ResBlock(8 * bc, self.dropout_rate, pooling=False, dtype=dt)
+        self.upBlock1 = UpBlock(4 * bc, self.dropout_rate, dtype=dt)
+        self.upBlock2 = UpBlock(4 * bc, self.dropout_rate, dtype=dt)
+        self.upBlock3 = UpBlock(2 * bc, self.dropout_rate, dtype=dt)
+        self.upBlock4 = UpBlock(bc, self.dropout_rate, drop_out=False, dtype=dt)
+        self.logits = Conv(self.nclasses, (1, 1), dtype=dt, name="logits")
 
     def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
         c = self.downCntx(x, train)
         c = self.downCntx2(c, train)
         c = self.downCntx3(c, train)
@@ -148,7 +161,7 @@ class SalsaNext(nn.Module):
         up3e = self.upBlock2(up4e, down2b, train)
         up2e = self.upBlock3(up3e, down1b, train)
         up1e = self.upBlock4(up2e, down0b, train)
-        logits = self.logits(up1e)
+        logits = self.logits(up1e).astype(jnp.float32)
         if self.softmax:
             return jax.nn.softmax(logits, axis=-1)
         return logits

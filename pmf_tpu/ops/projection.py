@@ -67,6 +67,30 @@ def perspective_project(points: jax.Array, proj_matrix: jax.Array,
     return v, u, keep
 
 
+def perspective_project_cam(points: jax.Array, proj_matrix: jax.Array,
+                            img_h, img_w, min_depth: float = 1.0,
+                            margin: float = 1.0,
+                            valid: jax.Array | None = None):
+    """Projection with camera-frame depth test (nuScenes-style).
+
+    Parity: dataset_nuscenes.py:253-276 — keep points with camera depth
+    (w of the composed projection) > min_depth and pixel coords within a
+    `margin`-pixel border.
+
+    Returns (rows, cols, keep).
+    """
+    uvw = (points[:, :3, None] * proj_matrix.T[None, :3, :]).sum(1) + proj_matrix.T[3]
+    w = uvw[:, 2]
+    keep = w > min_depth
+    if valid is not None:
+        keep &= valid
+    safe_w = jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)
+    u = uvw[:, 0] / safe_w
+    v = uvw[:, 1] / safe_w
+    keep &= (u > margin) & (u < img_w - margin) & (v > margin) & (v < img_h - margin)
+    return v, u, keep
+
+
 def yaw_crop_project(points: jax.Array, proj_matrix: jax.Array,
                      fov_left: float = -np.pi / 4, fov_right: float = np.pi / 4,
                      valid: jax.Array | None = None):

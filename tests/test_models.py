@@ -113,3 +113,23 @@ def test_resnet_rejects_bad_size():
     with pytest.raises(ValueError):
         m.init({"params": jax.random.PRNGKey(0)}, jnp.ones((1, 60, 96, 3)),
                train=False)
+
+
+def test_pmfnet_bfloat16_forward():
+    m = PMFNet(nclasses=6, base_channels=8, image_backbone="resnet34",
+               dtype=jnp.bfloat16)
+    pcd = jnp.ones((1, 32, 48, 5))
+    img = jnp.ones((1, 32, 48, 3))
+    variables = _init(m, pcd, img)
+    # params stay f32
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    lidar, cam = m.apply(variables, pcd, img, train=False)
+    # outputs return to f32 probabilities
+    assert lidar.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(lidar.sum(-1)), 1.0, rtol=1e-2)
+    # bf16 forward close to f32 forward
+    m32 = PMFNet(nclasses=6, base_channels=8, image_backbone="resnet34")
+    lidar32, _ = m32.apply(variables, pcd, img, train=False)
+    np.testing.assert_allclose(np.asarray(lidar), np.asarray(lidar32),
+                               atol=0.05)

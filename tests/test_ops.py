@@ -219,3 +219,39 @@ def test_pixel_shuffle_matches_torch():
     xt = torch.from_numpy(x).permute(0, 3, 1, 2)
     want = torch.pixel_shuffle(xt, 2).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_zbuffer_packed_matches_exact():
+    rng = np.random.default_rng(10)
+    N, H, W = 2000, 32, 64
+    rows = rng.integers(0, H, N)
+    cols = rng.integers(0, W, N)
+    # well-separated depths so quantization can't flip winners
+    depth = rng.permutation(N).astype(np.float32) * 0.5 + 1.0
+    keep = rng.random(N) > 0.1
+    from pmf_tpu.ops import zbuffer_scatter_packed
+    w1, m1 = zbuffer_scatter(jnp.asarray(rows), jnp.asarray(cols),
+                             jnp.asarray(depth), jnp.asarray(keep), H, W)
+    w2, m2 = zbuffer_scatter_packed(jnp.asarray(rows), jnp.asarray(cols),
+                                    jnp.asarray(depth), jnp.asarray(keep), H, W)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_fill_canvas_matches_gather_path():
+    rng = np.random.default_rng(11)
+    N, H, W, F = 500, 16, 24, 6
+    rows = rng.integers(0, H, N)
+    cols = rng.integers(0, W, N)
+    depth = rng.uniform(1, 50, N).astype(np.float32)
+    keep = rng.random(N) > 0.2
+    vals = rng.normal(size=(N, F)).astype(np.float32)
+    from pmf_tpu.ops import fill_canvas, zbuffer_scatter_packed
+    winner, mask = zbuffer_scatter_packed(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(depth),
+        jnp.asarray(keep), H, W)
+    img = np.asarray(fill_canvas(jnp.asarray(vals), jnp.asarray(rows),
+                                 jnp.asarray(cols), jnp.asarray(keep),
+                                 winner, mask))
+    ref = np.asarray(scatter_to_image(jnp.asarray(vals), winner, mask))
+    np.testing.assert_allclose(img, ref, rtol=1e-6)
