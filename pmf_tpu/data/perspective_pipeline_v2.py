@@ -1,0 +1,204 @@
+"""EPMF perspective pipeline (V2): yaw-FOV crop + dynamic tight bbox.
+
+Parity: pc_processor/dataset/perspective_view_loader_v2.py
+(PerspectiveViewLoaderV2):
+  * random image scale 1.0-1.2 at train (:51-57), point pixel coords
+    scaled to match (:75);
+  * yaw-FOV crop projection (mapLidar2CameraCropYaw) with no image-bound
+    filtering (:72-74);
+  * tight bounding box around the projected points, RGB re-registered
+    into the box (:81-128);
+  * pad to at least (proj_ht, proj_wt) — bottom pad, centered width —
+    then flip/rotate/random-crop (train) or center-crop (eval).
+
+TPU-native design: the reference materializes a *dynamic* bbox image.
+XLA needs static shapes, so all the bbox/pad/crop/flip/rotate steps are
+composed into per-point coordinate arithmetic and the points are
+scattered DIRECTLY into the static output window (proj_ht×proj_wt train
+/ proj_h×proj_w eval) with the packed z-buffer; RGB is one inverse-
+affine bilinear sample of the original image canvas. No dynamic
+intermediate exists, and the 2D augmentation costs one gather.
+(Resampling differs from the reference's nearest-rotate of a scattered
+image by at most one pixel per point — noise next to its unsorted
+scatter order.)
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.projection import yaw_crop_project
+from ..ops.scatter import fill_canvas, zbuffer_scatter_packed
+from .augment import AugmentConfig, augment_pointcloud
+
+_INF = jnp.float32(1e30)
+
+
+@dataclass(frozen=True)
+class V2Config:
+    canvas_h: int = 384       # RGB image canvas (unscaled)
+    canvas_w: int = 1248
+    proj_h: int = 384         # eval output (must suit EPMF's /64)
+    proj_w: int = 1280
+    proj_ht: int = 320        # train output
+    proj_wt: int = 1024
+    n_points: int = 131072
+    scale_min: float = 1.0    # train random image scale (loader :52)
+    scale_max: float = 1.2
+    rot_deg: float = 15.0
+    p_hflip: float = 0.5
+    fov_left: float = -np.pi / 4
+    fov_right: float = np.pi / 4
+    img_mean: tuple = (12.12, 10.88, 0.23, -1.04, 0.21)
+    img_stds: tuple = (12.32, 11.47, 6.91, 0.86, 0.16)
+    pcd_aug: bool = False
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+
+
+def _bbox(vals, keep, fallback=0):
+    lo = jnp.where(keep, vals, _INF).min()
+    hi = jnp.where(keep, vals, -_INF).max()
+    any_keep = keep.any()
+    lo = jnp.where(any_keep, lo, fallback).astype(jnp.int32)
+    hi = jnp.where(any_keep, hi, fallback).astype(jnp.int32)
+    return lo, hi
+
+
+def build_v2_sample(key, points, labels, valid, proj_matrix, image,
+                    img_h, img_w, cfg: V2Config, train: bool):
+    """One scan → (feature [H,W,8] normalized, mask, label2d, per-point
+    (rows, cols, keep) in the output frame, depth)."""
+    out_h, out_w = (cfg.proj_ht, cfg.proj_wt) if train else (cfg.proj_h, cfg.proj_w)
+    k_aug, k_scale, k_flip, k_rot, k_top, k_left = jax.random.split(key, 6)
+
+    if train and cfg.pcd_aug:
+        points = augment_pointcloud(k_aug, points, cfg.augment)
+
+    rows_f, cols_f, keep = yaw_crop_project(
+        points[:, :3], proj_matrix, cfg.fov_left, cfg.fov_right, valid)
+    scale = jax.random.uniform(k_scale, minval=cfg.scale_min,
+                               maxval=cfg.scale_max) if train else jnp.float32(1.0)
+    rows_f = rows_f * scale
+    cols_f = cols_f * scale
+    # truncation to int like the reference's astype(np.int32) (:79-80)
+    x = rows_f.astype(jnp.int32)
+    y = cols_f.astype(jnp.int32)
+
+    x_min, x_max = _bbox(x, keep)
+    y_min, y_max = _bbox(y, keep)
+    h = x_max - x_min + 1
+    w = y_max - y_min + 1
+    max_h = jnp.maximum(h, out_h)
+    max_w = jnp.maximum(w, out_w)
+    left_pad = (max_w - w) // 2  # loader :148 (width centered, height top)
+
+    # point coords in the padded frame
+    xp = (x - x_min).astype(jnp.float32)
+    yp = (y - y_min + left_pad).astype(jnp.float32)
+
+    if train:
+        flip = jax.random.uniform(k_flip) < cfg.p_hflip
+        theta = jax.random.uniform(k_rot, minval=-cfg.rot_deg,
+                                   maxval=cfg.rot_deg) * jnp.pi / 180.0
+        top = jax.random.randint(k_top, (), 0, jnp.maximum(max_h - out_h, 0) + 1)
+        left = jax.random.randint(k_left, (), 0, jnp.maximum(max_w - out_w, 0) + 1)
+    else:
+        flip = jnp.bool_(False)
+        theta = jnp.float32(0.0)
+        top = jnp.maximum(max_h - out_h, 0) // 2
+        left = jnp.maximum(max_w - out_w, 0) // 2
+
+    cy = (max_h.astype(jnp.float32) - 1.0) / 2.0
+    cx = (max_w.astype(jnp.float32) - 1.0) / 2.0
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+
+    # forward map for points: flip → rotate → crop
+    yp_f = jnp.where(flip, max_w.astype(jnp.float32) - 1.0 - yp, yp)
+    dxs, dys = yp_f - cx, xp - cy
+    xo = cy + (-st * dxs + ct * dys) - top
+    yo = cx + (ct * dxs + st * dys) - left
+    keep_out = keep & (xo >= -0.5) & (xo < out_h - 0.5) & \
+        (yo >= -0.5) & (yo < out_w - 0.5)
+    rows_o = jnp.round(xo).astype(jnp.int32)
+    cols_o = jnp.round(yo).astype(jnp.int32)
+
+    depth = jnp.linalg.norm(points[:, :3], axis=-1)
+    winner, mask = zbuffer_scatter_packed(rows_o, cols_o, depth, keep_out,
+                                          out_h, out_w)
+    vals = jnp.concatenate(
+        [depth[:, None], points[:, :4], labels[:, None].astype(jnp.float32)],
+        axis=-1)
+    canvas = fill_canvas(vals, rows_o, cols_o, keep_out, winner, mask)
+    lab = canvas[..., 5].astype(jnp.int32)
+
+    # RGB: inverse map output pixels → original image coords, bilinear
+    yg = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    xg = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    dyo, dxo = (yg + top) - cy, (xg + left) - cx
+    src_x = cx + (ct * dxo - st * dyo)          # padded-frame col
+    src_y = cy + (st * dxo + ct * dyo)          # padded-frame row
+    src_x = jnp.where(flip, max_w.astype(jnp.float32) - 1.0 - src_x, src_x)
+    img_col = (src_x - left_pad + y_min) / scale
+    img_row = (src_y + x_min) / scale
+    rgb = _bilinear_sample(image, img_row, img_col, img_h, img_w)
+
+    feature = jnp.concatenate([canvas[..., :5], rgb], axis=-1)
+    mean = jnp.asarray(cfg.img_mean, feature.dtype)
+    std = jnp.asarray(cfg.img_stds, feature.dtype)
+    lidar = (feature[..., :5] - mean) / std * mask[..., None].astype(feature.dtype)
+    feature = jnp.concatenate([lidar, feature[..., 5:]], axis=-1)
+    return feature, mask, lab, rows_o, cols_o, keep_out, depth
+
+
+def _bilinear_sample(image, rows, cols, img_h, img_w):
+    """Bilinear sample [Hc, Wc, 3] at float (rows, cols); 0 outside the
+    actual image extent."""
+    Hc, Wc, _ = image.shape
+    r0 = jnp.floor(rows)
+    c0 = jnp.floor(cols)
+    fr = (rows - r0)[..., None]
+    fc = (cols - c0)[..., None]
+    r0i = jnp.clip(r0.astype(jnp.int32), 0, Hc - 1)
+    c0i = jnp.clip(c0.astype(jnp.int32), 0, Wc - 1)
+    r1i = jnp.clip(r0i + 1, 0, Hc - 1)
+    c1i = jnp.clip(c0i + 1, 0, Wc - 1)
+    v00 = image[r0i, c0i]
+    v01 = image[r0i, c1i]
+    v10 = image[r1i, c0i]
+    v11 = image[r1i, c1i]
+    out = (v00 * (1 - fr) * (1 - fc) + v01 * (1 - fr) * fc +
+           v10 * fr * (1 - fc) + v11 * fr * fc)
+    inside = ((rows >= 0) & (rows <= img_h - 1) &
+              (cols >= 0) & (cols <= img_w - 1))
+    return jnp.where(inside[..., None], out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "train"))
+def build_v2_batch(key, points, labels, valid, proj_matrix, images,
+                   img_h, img_w, cfg: V2Config, train: bool):
+    """Batched V2 preprocessing → (feature [B,H,W,8], mask, label)."""
+    B = points.shape[0]
+    keys = jax.random.split(key, B)
+
+    def one(k, pts, lab, val, P, img, ih, iw):
+        f, m, l, *_ = build_v2_sample(k, pts, lab, val, P, img, ih, iw,
+                                      cfg, train)
+        return f, m, l
+
+    return jax.vmap(one)(keys, points, labels, valid, proj_matrix, images,
+                         img_h, img_w)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_v2_eval_sample_with_uproj(points, labels, valid, proj_matrix,
+                                    image, img_h, img_w, cfg: V2Config):
+    """Eval path with per-point output-frame pixel coords (epmf_eval
+    uproj mode)."""
+    f, m, l, rows, cols, keep, depth = build_v2_sample(
+        jax.random.PRNGKey(0), points, labels, valid, proj_matrix, image,
+        img_h, img_w, cfg, train=False)
+    return f, m, l, rows, cols, keep, depth

@@ -1,7 +1,8 @@
 from .focal import focal_softmax_loss, FocalSoftmaxLoss
 from .lovasz import lovasz_softmax_loss
 from .kl import kl_div
-from .perception_aware import perception_aware_loss, normalized_entropy
+from .perception_aware import (perception_aware_loss,
+    perception_aware_losses, normalized_entropy)
 from .dice import dice_loss, explog_dice_loss
 from .multi_task import MultiTaskLossParams, multi_task_loss, init_multi_task_params
 from .weighted_smoothl1 import weighted_smooth_l1
@@ -13,6 +14,7 @@ __all__ = [
     "lovasz_softmax_loss",
     "kl_div",
     "perception_aware_loss",
+    "perception_aware_losses",
     "normalized_entropy",
     "dice_loss",
     "explog_dice_loss",

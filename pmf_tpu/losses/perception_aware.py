@@ -25,6 +25,26 @@ def normalized_entropy(probs: jax.Array, log_probs: jax.Array) -> jax.Array:
     return -(probs * log_probs).sum(axis=-1) / jnp.log(jnp.asarray(C, probs.dtype))
 
 
+def perception_aware_losses(pcd_probs: jax.Array, img_probs: jax.Array,
+                            tau: float = 0.7):
+    """Split variant returning (loss_per_pcd, loss_per_img, weights) —
+    the EPMF trainer consumes the two KL terms separately
+    (tasks/epmf/trainer.py:290-315)."""
+    pcd_log = jnp.log(jnp.clip(pcd_probs, 1e-8))
+    img_log = jnp.log(jnp.clip(img_probs, 1e-8))
+
+    pcd_conf = 1.0 - normalized_entropy(pcd_probs, pcd_log)
+    img_conf = 1.0 - normalized_entropy(img_probs, img_log)
+    importance = pcd_conf - img_conf
+
+    pcd_guide = (importance > 0) * jnp.abs(importance) * (pcd_conf >= tau)
+    img_guide = (importance < 0) * jnp.abs(importance) * (img_conf >= tau)
+
+    loss_pcd = (kl_div(pcd_log, img_probs) * img_guide[..., None]).mean()
+    loss_img = (kl_div(img_log, pcd_probs) * pcd_guide[..., None]).mean()
+    return loss_pcd, loss_img, pcd_guide, img_guide
+
+
 def perception_aware_loss(pcd_probs: jax.Array, img_probs: jax.Array,
                           tau: float = 0.7):
     """Bidirectional entropy-gated KL between the two stream predictions.

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..losses import (
     focal_softmax_loss, lovasz_softmax_loss, perception_aware_loss,
-    normalized_entropy,
+    perception_aware_losses, multi_task_loss, normalized_entropy,
 )
 from ..metrics.iou import confusion_matrix
 from .state import TrainState
@@ -37,10 +37,18 @@ class LossConfig:
     gamma: float = 0.5         # perception-aware weight
     tau: float = 0.7           # confidence gate
     lovasz_ignore: int = 0
+    use_mtloss: bool = False   # EPMF learned uncertainty weighting
 
 
-def pmf_losses(lidar_pred, camera_pred, label, cfg: LossConfig):
-    """Full PMF loss composition; returns (total, aux dict)."""
+def pmf_losses(lidar_pred, camera_pred, label, cfg: LossConfig,
+               mt_sigma=None):
+    """Full PMF/EPMF loss composition; returns (total, aux dict).
+
+    With cfg.use_mtloss the six terms are weighted by the learned
+    uncertainty sigma (tasks/epmf/trainer.py:408-431, order
+    [foc_img, lov_img, per_img, per_pcd, foc, lov]); otherwise the plain
+    weighted sum (tasks/pmf/trainer.py:330-332).
+    """
     alpha = jnp.asarray(cfg.alpha, jnp.float32)
     label_mask = label > 0
 
@@ -51,11 +59,19 @@ def pmf_losses(lidar_pred, camera_pred, label, cfg: LossConfig):
                                       gamma=cfg.gamma_focal, mask=label_mask)
     loss_lov_cam = lovasz_softmax_loss(camera_pred, label,
                                        ignore=cfg.lovasz_ignore)
-    loss_per, _, _ = perception_aware_loss(lidar_pred, camera_pred, cfg.tau)
+    loss_per_pcd, loss_per_img, _, _ = perception_aware_losses(
+        lidar_pred, camera_pred, cfg.tau)
+    loss_per = loss_per_pcd + loss_per_img
 
-    total = (loss_foc + loss_lov * cfg.lambda_ +
-             loss_foc_cam + loss_lov_cam * cfg.lambda_ +
-             loss_per * cfg.gamma)
+    if cfg.use_mtloss:
+        assert mt_sigma is not None, "use_mtloss requires mt_sigma params"
+        total = multi_task_loss(mt_sigma, [
+            loss_foc_cam, loss_lov_cam, loss_per_img, loss_per_pcd,
+            loss_foc, loss_lov])
+    else:
+        total = (loss_foc + loss_lov * cfg.lambda_ +
+                 loss_foc_cam + loss_lov_cam * cfg.lambda_ +
+                 loss_per * cfg.gamma)
 
     lidar_log = jnp.log(jnp.clip(lidar_pred, 1e-8))
     cam_log = jnp.log(jnp.clip(camera_pred, 1e-8))
@@ -86,11 +102,15 @@ def make_pmf_train_step(model, tx, cfg: LossConfig):
         img = feature[..., 5:8]
 
         def loss_fn(params):
+            mt_sigma = params.get("mt_sigma") if isinstance(params, dict) else None
+            model_params = {k: v for k, v in params.items() if k != "mt_sigma"} \
+                if mt_sigma is not None else params
             (lidar_pred, camera_pred), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": model_params, "batch_stats": state.batch_stats},
                 pcd, img, train=True,
                 rngs={"dropout": key}, mutable=["batch_stats"])
-            total, aux = pmf_losses(lidar_pred, camera_pred, label, cfg)
+            total, aux = pmf_losses(lidar_pred, camera_pred, label, cfg,
+                                    mt_sigma)
             return total, (mutated["batch_stats"], aux, lidar_pred, camera_pred)
 
         grads, (new_bs, aux, lidar_pred, camera_pred) = jax.grad(
@@ -115,10 +135,14 @@ def make_pmf_eval_step(model, cfg: LossConfig):
     def eval_step(state: TrainState, feature, label, sample_valid=None):
         pcd = feature[..., 0:5]
         img = feature[..., 5:8]
+        params = state.params
+        mt_sigma = params.get("mt_sigma") if isinstance(params, dict) else None
+        if mt_sigma is not None:
+            params = {k: v for k, v in params.items() if k != "mt_sigma"}
         lidar_pred, camera_pred = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": state.batch_stats},
             pcd, img, train=False)
-        _, aux = pmf_losses(lidar_pred, camera_pred, label, cfg)
+        _, aux = pmf_losses(lidar_pred, camera_pred, label, cfg, mt_sigma)
         valid = None
         if sample_valid is not None:
             # final val batches are padded to a full batch (loader); mask

@@ -26,9 +26,11 @@ import numpy as np
 
 from ..config import Options
 from ..data import (
-    PVConfig, RangeConfig, SemanticKitti, build_batch, build_range_batch,
-    HostLoader, kitti_sample_reader,
+    PVConfig, RangeConfig, SemanticKitti, Nuscenes, build_batch,
+    build_range_batch, HostLoader, kitti_sample_reader,
+    nuscenes_sample_reader,
 )
+from ..data.perspective_pipeline_v2 import V2Config, build_v2_batch
 from ..data.augment import AugmentConfig
 from ..data.loader import range_sample_reader
 from ..metrics import IOUEval
@@ -55,6 +57,19 @@ def kitti_focal_alpha(cls_freq: np.ndarray, learning_ignore: dict) -> np.ndarray
     for cl in range(len(w)):
         if learning_ignore.get(cl, False):
             w[cl] = 0.0
+    alpha = np.log(1 + w)
+    alpha = alpha / alpha.max()
+    alpha[0] = 0.0
+    return alpha.astype(np.float32)
+
+
+def config_focal_alpha(cls_freq) -> np.ndarray:
+    """alpha from a config-provided raw count list (tasks/epmf/
+    trainer.py:123-125,249-251): normalize, zero class 0, log-weight."""
+    f = np.asarray(cls_freq, dtype=np.float64)
+    f = f / f.sum()
+    f[0] = 0
+    w = 1.0 / (f + 1e-8)
     alpha = np.log(1 + w)
     alpha = alpha / alpha.max()
     alpha[0] = 0.0
@@ -88,14 +103,50 @@ class Trainer:
         if opts.dataset == "SemanticKitti":
             trainset = SemanticKitti(opts.data_root, [0, 1, 2, 3, 4, 5, 6, 7, 9, 10])
             valset = SemanticKitti(opts.data_root, [8])
-            self.alpha = kitti_focal_alpha(
-                trainset.cls_freq, trainset.data_config["learning_ignore"])
+            if opts.config.get("cls_freq"):
+                self.alpha = config_focal_alpha(opts.config["cls_freq"])
+            else:
+                self.alpha = kitti_focal_alpha(
+                    trainset.cls_freq, trainset.data_config["learning_ignore"])
             self.ignore_class = [cl for cl, a in enumerate(self.alpha) if a == 0]
+            self.mapped_cls_name = trainset.mapped_cls_name
+        elif opts.dataset == "nuScenes":
+            version = opts.config.get("nusc_version", "v1.0-trainval")
+            splits_file = opts.config.get("nusc_splits_file")
+            trainset = Nuscenes(opts.data_root, version=version, split="train",
+                                splits_file=splits_file)
+            valset = Nuscenes(opts.data_root, version=version, split="val",
+                              splits_file=splits_file)
+            # nuScenes: uniform alpha, ignore class 0 (trainer.py:132-134,198)
+            self.alpha = np.ones((opts.nclasses,), np.float32)
+            self.alpha[0] = 0.0
+            self.ignore_class = [0]
             self.mapped_cls_name = trainset.mapped_cls_name
         else:
             raise ValueError(f"dataset not wired into Trainer yet: {opts.dataset}")
 
-        if self.is_fusion:
+        self.use_v2 = opts.net_type == "EPMFNet"
+        if self.use_v2:
+            pv = opts.group("PVconfig") or sensor
+            self.v2_cfg = V2Config(
+                canvas_h=int(pv.get("canvas_h", 900)),
+                canvas_w=int(pv.get("canvas_w", 1600)),
+                proj_h=int(pv.get("proj_h", 320)),
+                proj_w=int(pv.get("proj_w", 1280)),
+                proj_ht=int(pv.get("proj_ht", 320)),
+                proj_wt=int(pv.get("proj_wt", 1280)),
+                n_points=int(pv.get("n_points", 131072)),
+                img_mean=tuple(pv.get("pcd_mean", V2Config.img_mean)),
+                img_stds=tuple(pv.get("pcd_stds", V2Config.img_stds)),
+                pcd_aug=bool(pv.get("pcd_aug", False)),
+                augment=aug)
+            if opts.dataset == "SemanticKitti":
+                train_reader = kitti_sample_reader(trainset, self.v2_cfg)
+                val_reader = kitti_sample_reader(valset, self.v2_cfg)
+            else:
+                train_reader = nuscenes_sample_reader(trainset, self.v2_cfg)
+                val_reader = nuscenes_sample_reader(valset, self.v2_cfg)
+        elif self.is_fusion:
             self.pv_cfg = PVConfig(
                 canvas_h=int(sensor.get("canvas_h", 384)),
                 canvas_w=int(sensor.get("canvas_w", 1248)),
@@ -109,9 +160,14 @@ class Trainer:
                 img_mean=tuple(sensor.get("img_mean", PVConfig.img_mean)),
                 img_stds=tuple(sensor.get("img_stds", PVConfig.img_stds)),
                 pcd_aug=bool(sensor.get("pcd_aug", False)),
+                projection="cam" if opts.dataset == "nuScenes" else "kitti",
                 augment=aug)
-            train_reader = kitti_sample_reader(trainset, self.pv_cfg)
-            val_reader = kitti_sample_reader(valset, self.pv_cfg)
+            if opts.dataset == "SemanticKitti":
+                train_reader = kitti_sample_reader(trainset, self.pv_cfg)
+                val_reader = kitti_sample_reader(valset, self.pv_cfg)
+            else:
+                train_reader = nuscenes_sample_reader(trainset, self.pv_cfg)
+                val_reader = nuscenes_sample_reader(valset, self.pv_cfg)
         else:
             self.range_cfg = RangeConfig(
                 proj_h=int(sensor.get("proj_h", 64)),
@@ -159,7 +215,10 @@ class Trainer:
         else:
             raise ValueError(f"invalid net_type: {opts.net_type}")
 
-        if self.is_fusion:
+        if self.use_v2:
+            h, w = self.v2_cfg.proj_ht, self.v2_cfg.proj_wt
+            example = (jnp.zeros((1, h, w, 5)), jnp.zeros((1, h, w, 3)))
+        elif self.is_fusion:
             h, w = self.pv_cfg.proj_ht, self.pv_cfg.proj_wt
             example = (jnp.zeros((1, h, w, 5)), jnp.zeros((1, h, w, 3)))
         else:
@@ -188,8 +247,14 @@ class Trainer:
                                            opts.weight_decay)
         else:
             self.tx = adamw(schedule)
+        params = dict(variables["params"])
+        if self.is_fusion and opts.config.get("use_mtloss"):
+            from ..losses import init_multi_task_params
+
+            n_losses = 6 if self.is_fusion else 2
+            params["mt_sigma"] = init_multi_task_params(n_losses)
         self.state = TrainState.create(
-            {"params": variables["params"],
+            {"params": params,
              "batch_stats": variables.get("batch_stats", {})}, self.tx)
 
     # ----------------------------------------------------------- steps
@@ -198,7 +263,7 @@ class Trainer:
         self.loss_cfg = LossConfig(
             nclasses=opts.nclasses, alpha=tuple(float(a) for a in self.alpha),
             gamma_focal=2.0, lambda_=opts.lambda_, gamma=opts.gamma,
-            tau=opts.tau)
+            tau=opts.tau, use_mtloss=bool(opts.config.get("use_mtloss")))
         if self.is_fusion:
             self.train_step = make_pmf_train_step(self.model, self.tx, self.loss_cfg)
             self.eval_step = make_pmf_eval_step(self.model, self.loss_cfg)
@@ -211,7 +276,12 @@ class Trainer:
     def _device_batch(self, batch: dict, train: bool, key):
         """Host batch → sharded device arrays → fused preprocessing."""
         sharded = shard_batch(self.mesh, batch)
-        if self.is_fusion:
+        if self.use_v2:
+            f, m, l = build_v2_batch(
+                key, sharded["points"], sharded["labels"], sharded["valid"],
+                sharded["proj_matrix"], sharded["image"], sharded["img_h"],
+                sharded["img_w"], self.v2_cfg, train)
+        elif self.is_fusion:
             f, m, l = build_batch(
                 key, sharded["points"], sharded["labels"], sharded["valid"],
                 sharded["proj_matrix"], sharded["image"], sharded["img_h"],

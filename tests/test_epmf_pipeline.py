@@ -1,0 +1,112 @@
+"""V2 (EPMF) pipeline tests + EPMF end-to-end debug training."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import yaml
+
+from pmf_tpu.data.perspective_pipeline_v2 import (
+    V2Config, build_v2_batch, build_v2_eval_sample_with_uproj,
+)
+from pmf_tpu.data import SemanticKitti, kitti_sample_reader
+from tests.test_data_pipeline import make_synthetic_kitti
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    return make_synthetic_kitti(str(tmp_path_factory.mktemp("kitti_v2")),
+                                n_scans=2, n_points=700)
+
+
+@pytest.fixture(scope="module")
+def v2_cfg():
+    return V2Config(canvas_h=64, canvas_w=160, proj_h=64, proj_w=128,
+                    proj_ht=64, proj_wt=128, n_points=1024)
+
+
+def test_v2_eval_geometry(kitti_root, v2_cfg):
+    ds = SemanticKitti(kitti_root, [0])
+    s = kitti_sample_reader(ds, v2_cfg)(0)
+    f, m, l, rows, cols, keep, depth = build_v2_eval_sample_with_uproj(
+        jnp.asarray(s["points"]), jnp.asarray(s["labels"]),
+        jnp.asarray(s["valid"]), jnp.asarray(s["proj_matrix"]),
+        jnp.asarray(s["image"]), s["img_h"], s["img_w"], v2_cfg)
+    f, m, l = np.asarray(f), np.asarray(m), np.asarray(l)
+    rows, cols, keep = np.asarray(rows), np.asarray(cols), np.asarray(keep)
+    assert f.shape == (64, 128, 8)
+    assert keep.sum() > 30
+    kr, kc = rows[keep], cols[keep]
+    assert (kr >= 0).all() and (kr < 64).all()
+    assert m[kr, kc].all()
+    assert (l[kr, kc] > 0).mean() > 0.99
+    # yaw-crop: only points within +-45 deg yaw and depth>0.5 kept
+    pts = s["points"][s["valid"]]
+    yaw = -np.arctan2(pts[:, 1], pts[:, 0])
+    inside_fov = (yaw >= -np.pi / 4) & (yaw <= np.pi / 4) & \
+        (np.linalg.norm(pts[:, :3], axis=1) > 0.5)
+    assert keep[:len(pts)][~inside_fov].sum() == 0
+    # rgb channels populated somewhere
+    assert f[..., 5:8].max() > 0.05
+
+
+def test_v2_train_batch_and_determinism(kitti_root, v2_cfg):
+    ds = SemanticKitti(kitti_root, [0])
+    reader = kitti_sample_reader(ds, v2_cfg)
+    s = reader(0)
+    args = (jnp.asarray(s["points"])[None], jnp.asarray(s["labels"])[None],
+            jnp.asarray(s["valid"])[None], jnp.asarray(s["proj_matrix"])[None],
+            jnp.asarray(s["image"])[None], jnp.asarray([s["img_h"]]),
+            jnp.asarray([s["img_w"]]))
+    f1, m1, l1 = build_v2_batch(jax.random.PRNGKey(3), *args, v2_cfg, True)
+    f2, _, _ = build_v2_batch(jax.random.PRNGKey(3), *args, v2_cfg, True)
+    f3, _, _ = build_v2_batch(jax.random.PRNGKey(4), *args, v2_cfg, True)
+    assert f1.shape == (1, 64, 128, 8)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    assert np.abs(np.asarray(f1) - np.asarray(f3)).max() > 0
+    assert np.asarray(m1).any()
+    # masked lidar channels zero outside mask
+    f1n, m1n = np.asarray(f1), np.asarray(m1)
+    assert np.abs(f1n[..., :5][~m1n]).max() == 0.0
+
+
+def test_epmf_experiment_end_to_end(kitti_root, tmp_path):
+    """EPMF + MultiTaskLoss debug training on synthetic KITTI."""
+    for seq in range(11):
+        dst = os.path.join(kitti_root, f"{seq:02d}")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(kitti_root, "00"), dst)
+    cfg = {
+        "save_path": str(tmp_path / "exp"), "seed": 1, "n_epochs": 2,
+        "batch_size": [2, 1], "lr": 0.001, "warmup_epochs": 1,
+        "momentum": 0.9, "weight_decay": 1e-5, "val_frequency": 1,
+        "dataset": "SemanticKitti", "nclasses": 20, "data_root": kitti_root,
+        "net_type": "EPMFNet", "base_channels": 8, "img_backbone": "resnet34",
+        "lambda": 1.0, "gamma": 0.5, "tau": 0.7, "is_debug": True,
+        "n_threads": 2, "experiment_id": "epmf-e2e", "use_mtloss": True,
+        "mesh_data": 1, "mesh_model": 1,
+        "PVconfig": {
+            "canvas_h": 64, "canvas_w": 160,
+            "proj_h": 64, "proj_w": 128, "proj_ht": 64, "proj_wt": 128,
+            "n_points": 1024,
+            "pcd_mean": [12.12, 10.88, 0.23, -1.04, 0.21],
+            "pcd_stds": [12.32, 11.47, 6.91, 0.86, 0.16]},
+        "augmentation": {},
+    }
+    cfg_path = str(tmp_path / "epmf.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from pmf_tpu.config import load_options
+    from pmf_tpu.tools.train import Experiment
+
+    opts = load_options(cfg_path)
+    exp = Experiment(opts)
+    # mt_sigma is a live parameter
+    assert "mt_sigma" in exp.trainer.state.params
+    sigma0 = np.asarray(exp.trainer.state.params["mt_sigma"]).copy()
+    best = exp.run()
+    assert np.isfinite(best["IOU"])
+    sigma1 = np.asarray(exp.trainer.state.params["mt_sigma"])
+    assert np.abs(sigma1 - sigma0).max() > 0, "mt sigma did not train"
