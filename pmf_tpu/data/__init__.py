@@ -8,7 +8,11 @@ from .range_pipeline import (
     RangeConfig, build_range_batch, build_range_sample_with_uproj,
     range_project,
 )
-from .loader import HostLoader, kitti_sample_reader, nuscenes_sample_reader
+from .loader import (HostLoader, kitti_sample_reader,
+    nuscenes_sample_reader, sensat_sample_reader)
+from .sensat_urban import (SensatUrban, SensatConfig, build_sensat_batch,
+    compute_bev_feature, prepare_bev_frames, read_ply, write_ply,
+    sensat_frame_weights)
 from .nuscenes import Nuscenes, NuScenesLite
 
 __all__ = [
@@ -20,4 +24,7 @@ __all__ = [
     "range_project",
     "HostLoader", "kitti_sample_reader", "nuscenes_sample_reader",
     "Nuscenes", "NuScenesLite",
+    "sensat_sample_reader", "SensatUrban", "SensatConfig",
+    "build_sensat_batch", "compute_bev_feature", "prepare_bev_frames",
+    "read_ply", "write_ply", "sensat_frame_weights",
 ]

@@ -58,6 +58,37 @@ def nuscenes_sample_reader(dataset, cfg: PVConfig) -> Callable[[int], dict]:
     return read
 
 
+def sensat_sample_reader(dataset, cfg, frame_weights=None,
+                         train: bool = True) -> Callable[[int], dict]:
+    """SensatUrban reader: train mode cuts a random (2h, 2w) window from
+    the (variable-size) frame — the device pipeline rotates/crops/flips
+    inside it (sensat_loader.py crop(2x)→aug→crop). Val mode expects
+    pre-tiled fixed frames (SensatUrban(use_crop=True))."""
+    import numpy as np
+
+    def read(index: int) -> dict:
+        if train and frame_weights is not None:
+            index = frame_weights[index % len(frame_weights)]
+        frame = dataset.readDataByIndex(index)
+        fm = np.asarray(frame["feature_map"], np.float32)
+        lm = np.asarray(frame["label_map"], np.float32)
+        if train:
+            wh, ww = cfg.img_h * 2, cfg.img_w * 2
+            out_f = np.zeros((8, wh, ww), np.float32)
+            out_l = np.full((wh, ww), -1.0, np.float32)
+            H, W = lm.shape
+            top = np.random.randint(0, max(H - wh, 0) + 1)
+            left = np.random.randint(0, max(W - ww, 0) + 1)
+            h = min(wh, H - top)
+            w = min(ww, W - left)
+            out_f[:, :h, :w] = fm[:, top:top + h, left:left + w]
+            out_l[:h, :w] = lm[top:top + h, left:left + w]
+            fm, lm = out_f, out_l
+        return {"feature_map": fm, "label_map": lm, "index": np.int32(index)}
+
+    return read
+
+
 def range_sample_reader(dataset, cfg) -> Callable[[int], dict]:
     """Reader for the spherical range pipeline (no image)."""
 

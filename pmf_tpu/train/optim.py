@@ -17,7 +17,9 @@ from typing import Callable
 import optax
 
 
-def adamw(lr_schedule) -> optax.GradientTransformation:
+def adamw(lr_schedule, amsgrad: bool = False) -> optax.GradientTransformation:
+    if amsgrad:
+        return adamw_amsgrad(lr_schedule)
     return optax.adamw(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
                        weight_decay=0.01)
 
@@ -35,6 +37,7 @@ def hybrid_pmf_optimizer(lr_schedule, momentum: float, weight_decay: float,
                          camera_keys=("camera_stream_encoder",
                                       "camera_stream_decoder"),
                          lidar_keys=("lidar_stream",),
+                         amsgrad: bool = False,
                          ) -> optax.GradientTransformation:
     """AdamW(lidar) + SGD-Nesterov(camera), routed by top-level param key.
 
@@ -51,7 +54,7 @@ def hybrid_pmf_optimizer(lr_schedule, momentum: float, weight_decay: float,
         return {k: label_of(k) for k in params.keys()}
 
     return optax.multi_transform(
-        {"adamw": adamw(lr_schedule),
+        {"adamw": adamw(lr_schedule, amsgrad=amsgrad),
          "sgd": sgd_nesterov(lr_schedule, momentum, weight_decay)},
         label_fn)
 

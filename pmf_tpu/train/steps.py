@@ -21,8 +21,9 @@ import jax
 import jax.numpy as jnp
 
 from ..losses import (
-    focal_softmax_loss, lovasz_softmax_loss, perception_aware_loss,
-    perception_aware_losses, multi_task_loss, normalized_entropy,
+    explog_dice_loss, focal_softmax_loss, lovasz_softmax_loss,
+    perception_aware_loss, perception_aware_losses, multi_task_loss,
+    normalized_entropy,
 )
 from ..metrics.iou import confusion_matrix
 from .state import TrainState
@@ -38,6 +39,8 @@ class LossConfig:
     tau: float = 0.7           # confidence gate
     lovasz_ignore: int = 0
     use_mtloss: bool = False   # EPMF learned uncertainty weighting
+    use_dice: bool = False     # SensatUrban adds ExpLogDice to focal
+                               # (tasks/sensat_urban/pmf/trainer.py:205-215)
 
 
 def pmf_losses(lidar_pred, camera_pred, label, cfg: LossConfig,
@@ -59,6 +62,10 @@ def pmf_losses(lidar_pred, camera_pred, label, cfg: LossConfig,
                                       gamma=cfg.gamma_focal, mask=label_mask)
     loss_lov_cam = lovasz_softmax_loss(camera_pred, label,
                                        ignore=cfg.lovasz_ignore)
+    if cfg.use_dice:
+        loss_foc = loss_foc + explog_dice_loss(lidar_pred, label, label_mask)
+        loss_foc_cam = loss_foc_cam + explog_dice_loss(camera_pred, label,
+                                                       label_mask)
     loss_per_pcd, loss_per_img, _, _ = perception_aware_losses(
         lidar_pred, camera_pred, cfg.tau)
     loss_per = loss_per_pcd + loss_per_img

@@ -31,6 +31,9 @@ from ..data import (
     nuscenes_sample_reader,
 )
 from ..data.perspective_pipeline_v2 import V2Config, build_v2_batch
+from ..data.sensat_urban import (SensatConfig, SensatUrban,
+                                 build_sensat_batch, sensat_frame_weights)
+from ..data.loader import sensat_sample_reader
 from ..data.augment import AugmentConfig
 from ..data.loader import range_sample_reader
 from ..metrics import IOUEval
@@ -110,6 +113,18 @@ class Trainer:
                     trainset.cls_freq, trainset.data_config["learning_ignore"])
             self.ignore_class = [cl for cl, a in enumerate(self.alpha) if a == 0]
             self.mapped_cls_name = trainset.mapped_cls_name
+        elif opts.dataset == "SensatUrban":
+            trainset = SensatUrban(opts.data_root, "train")
+            # hand-tuned rare-class boosts (sensat trainer.py:175-181)
+            self.alpha = np.ones((opts.nclasses,), np.float32)
+            self.alpha[0] = 0.0
+            for cl, a in [(4, 2.0), (5, 2.5), (7, 3.0), (12, 10.0), (13, 2.5)]:
+                if cl < opts.nclasses:
+                    self.alpha[cl] = a
+            self.ignore_class = [0]
+            self.mapped_cls_name = {k + 1: v for k, v in
+                                    trainset.mapped_cls_name.items() if k >= 0}
+            self.mapped_cls_name[0] = "ignore"
         elif opts.dataset == "nuScenes":
             version = opts.config.get("nusc_version", "v1.0-trainval")
             splits_file = opts.config.get("nusc_splits_file")
@@ -126,7 +141,26 @@ class Trainer:
             raise ValueError(f"dataset not wired into Trainer yet: {opts.dataset}")
 
         self.use_v2 = opts.net_type == "EPMFNet"
-        if self.use_v2:
+        self.is_sensat = opts.dataset == "SensatUrban"
+        if self.is_sensat:
+            self.sensat_cfg = SensatConfig(
+                img_h=int(sensor.get("proj_ht", 320)),
+                img_w=int(sensor.get("proj_wt", 320)))
+            self.sensat_eval_cfg = SensatConfig(
+                img_h=int(sensor.get("proj_h", 320)),
+                img_w=int(sensor.get("proj_w", 320)))
+            valset = SensatUrban(opts.data_root, "val",
+                                 img_h=self.sensat_eval_cfg.img_h,
+                                 img_w=self.sensat_eval_cfg.img_w,
+                                 use_crop=True)
+            weights = sensat_frame_weights(
+                trainset, int(sensor.get("n_samples_split", 200)))
+            train_reader = sensat_sample_reader(trainset, self.sensat_cfg,
+                                                weights, train=True)
+            val_reader = sensat_sample_reader(valset, self.sensat_eval_cfg,
+                                              train=False)
+            self._sensat_train_len = len(weights)
+        elif self.use_v2:
             pv = opts.group("PVconfig") or sensor
             self.v2_cfg = V2Config(
                 canvas_h=int(pv.get("canvas_h", 900)),
@@ -183,17 +217,19 @@ class Trainer:
             train_reader = range_sample_reader(trainset, self.range_cfg)
             val_reader = range_sample_reader(valset, self.range_cfg)
 
+        self._train_len = getattr(self, "_sensat_train_len", len(trainset))
+        self._val_len = len(valset)
         pi, pc = jax.process_index(), jax.process_count()
         # batch_size in the config is PER-DEVICE (reference: per-GPU,
         # config_server_kitti.yaml:14); the global batch spans the mesh
         data_par = self.mesh.shape["data"]
         self.train_loader = HostLoader(
-            train_reader, len(trainset), opts.batch_size[0] * data_par,
+            train_reader, self._train_len, opts.batch_size[0] * data_par,
             shuffle=True,
             drop_last=True, seed=opts.seed, num_workers=opts.n_threads,
             process_index=pi, process_count=pc)
         self.val_loader = HostLoader(
-            val_reader, len(valset), opts.batch_size[1] * data_par,
+            val_reader, self._val_len, opts.batch_size[1] * data_par,
             shuffle=False,
             drop_last=False, num_workers=opts.n_threads,
             process_index=pi, process_count=pc)
@@ -215,7 +251,10 @@ class Trainer:
         else:
             raise ValueError(f"invalid net_type: {opts.net_type}")
 
-        if self.use_v2:
+        if self.is_sensat:
+            h, w = self.sensat_cfg.img_h, self.sensat_cfg.img_w
+            example = (jnp.zeros((1, h, w, 5)), jnp.zeros((1, h, w, 3)))
+        elif self.use_v2:
             h, w = self.v2_cfg.proj_ht, self.v2_cfg.proj_wt
             example = (jnp.zeros((1, h, w, 5)), jnp.zeros((1, h, w, 3)))
         elif self.is_fusion:
@@ -243,8 +282,9 @@ class Trainer:
             (opts.n_epochs - opts.warmup_epochs) * steps_per_epoch)
         self.lr_schedule = schedule
         if self.is_fusion:
-            self.tx = hybrid_pmf_optimizer(schedule, opts.momentum,
-                                           opts.weight_decay)
+            self.tx = hybrid_pmf_optimizer(
+                schedule, opts.momentum, opts.weight_decay,
+                amsgrad=self.is_sensat)  # sensat trainer.py:84
         else:
             self.tx = adamw(schedule)
         params = dict(variables["params"])
@@ -263,7 +303,8 @@ class Trainer:
         self.loss_cfg = LossConfig(
             nclasses=opts.nclasses, alpha=tuple(float(a) for a in self.alpha),
             gamma_focal=2.0, lambda_=opts.lambda_, gamma=opts.gamma,
-            tau=opts.tau, use_mtloss=bool(opts.config.get("use_mtloss")))
+            tau=opts.tau, use_mtloss=bool(opts.config.get("use_mtloss")),
+            use_dice=self.is_sensat)
         if self.is_fusion:
             self.train_step = make_pmf_train_step(self.model, self.tx, self.loss_cfg)
             self.eval_step = make_pmf_eval_step(self.model, self.loss_cfg)
@@ -276,7 +317,11 @@ class Trainer:
     def _device_batch(self, batch: dict, train: bool, key):
         """Host batch → sharded device arrays → fused preprocessing."""
         sharded = shard_batch(self.mesh, batch)
-        if self.use_v2:
+        if self.is_sensat:
+            cfg = self.sensat_cfg if train else self.sensat_eval_cfg
+            f, l = build_sensat_batch(key, sharded["feature_map"],
+                                      sharded["label_map"], cfg, train)
+        elif self.use_v2:
             f, m, l = build_v2_batch(
                 key, sharded["points"], sharded["labels"], sharded["valid"],
                 sharded["proj_matrix"], sharded["image"], sharded["img_h"],
