@@ -58,6 +58,33 @@ def nuscenes_sample_reader(dataset, cfg: PVConfig) -> Callable[[int], dict]:
     return read
 
 
+def nuscenes_v2_sample_reader(dataset, cfg) -> Callable[[int], dict]:
+    """NuscenesV2 reader: transforms the scan into the CAMERA frame on
+    host (the V2 pipeline then crops by camera-frame yaw,
+    dataset_nuscenes_v2.py:301-376) and projects with the (rescaled)
+    intrinsic only. Emits per-sample fov bounds."""
+
+    def read(index: int) -> dict:
+        pcd, sem, _ = dataset.loadDataByIndex(index)
+        sem = dataset.labelMapping(sem)
+        M, K = dataset.camera_transform(index)
+        xyz_cam = pcd[:, :3] @ M[:3, :3].T + M[:3, 3]
+        pcd_cam = np.concatenate([xyz_cam, pcd[:, 3:4]], axis=1)
+        points, labels, valid = pad_points(pcd_cam, sem, cfg.n_points)
+        img = dataset.loadImage(index)
+        image, img_h, img_w = pad_image(img, cfg.canvas_h, cfg.canvas_w)
+        proj = np.zeros((3, 4), np.float32)
+        proj[:, :3] = K
+        fov = np.asarray(dataset.fov(index), np.float32)
+        return {
+            "points": points, "labels": labels, "valid": valid,
+            "proj_matrix": proj, "image": image, "img_h": img_h,
+            "img_w": img_w, "fov": fov, "index": np.int32(index),
+        }
+
+    return read
+
+
 def sensat_sample_reader(dataset, cfg, frame_weights=None,
                          train: bool = True) -> Callable[[int], dict]:
     """SensatUrban reader: train mode cuts a random (2h, 2w) window from

@@ -269,3 +269,107 @@ class Nuscenes:
              _pose_matrix(l_pose) @ _pose_matrix(l_cs))
         K = np.asarray(c_cs["camera_intrinsic"], dtype=np.float64)
         return (K @ M[:3]).astype(np.float32)
+
+
+FOV_ANGLE_V2 = {
+    "CAM_FRONT": (-35.0, 35.0),
+    "CAM_FRONT_RIGHT": (-40.0, 40.0),
+    "CAM_BACK_RIGHT": (-45.0, 45.0),
+    "CAM_BACK": (-50.0, 50.0),
+    "CAM_BACK_LEFT": (-45.0, 45.0),
+    "CAM_FRONT_LEFT": (-40.0, 40.0),
+}
+
+
+class NuscenesV2(Nuscenes):
+    """EPMF variant of the nuScenes adapter.
+
+    Parity: pc_processor/dataset/nuScenes/dataset_nuscenes_v2.py:
+      * scene-ordered (lidar, camera) token list with the camera channel
+        recorded (:385-412);
+      * per-camera yaw-FOV table (:137-144);
+      * non-CAM_BACK images resized ×(0.5 h, 0.6 w) with matching point
+        pixel rescale (:207-209, 370-372) — the rescale is folded into
+        the projection matrix here;
+      * camera-frame yaw crop handled by the V2 pipeline (cam_frame=True).
+    """
+
+    def __init__(self, root, version="v1.0-trainval", split="train",
+                 has_image=True, train_scene_names=None, splits_file=None):
+        super().__init__(root, version=version, split=split,
+                         has_image=has_image,
+                         train_scene_names=train_scene_names,
+                         splits_file=splits_file)
+        if has_image:
+            # rebuild the token list scene-ordered with cam channels
+            if splits_file:
+                import json as _json
+
+                with open(splits_file) as f:
+                    train_scene_names = _json.load(f)["train"]
+            scene_by_name = {s["name"]: s["token"] for s in self.nusc.scene}
+            if train_scene_names is None:
+                train_tokens = set(scene_by_name.values())
+            else:
+                train_tokens = {scene_by_name[n] for n in train_scene_names
+                                if n in scene_by_name}
+            samples_by_scene = {}
+            for sample in self.nusc.sample:
+                samples_by_scene.setdefault(sample["scene_token"],
+                                            []).append(sample)
+            train_list, val_list = [], []
+            for scene in self.nusc.scene:
+                target = train_list if scene["token"] in train_tokens \
+                    else val_list
+                for sample in samples_by_scene.get(scene["token"], []):
+                    for cam in CAMERAS:
+                        target.append({
+                            "lidar_token": sample["data"]["LIDAR_TOP"],
+                            "cam_token": sample["data"][cam],
+                            "cam_channel": cam})
+            self.token_list = train_list if split in ("train", "test") \
+                else val_list
+
+    def cam_channel(self, index: int) -> str:
+        return self.token_list[index]["cam_channel"]
+
+    def fov(self, index: int):
+        """Per-camera (fov_left, fov_right) in radians."""
+        l, r = FOV_ANGLE_V2[self.cam_channel(index)]
+        return (l / 180.0 * np.pi, r / 180.0 * np.pi)
+
+    def image_scale(self, index: int):
+        """(row_scale, col_scale) applied to non-CAM_BACK images."""
+        if self.cam_channel(index) != "CAM_BACK":
+            return (0.5, 0.6)
+        return (1.0, 1.0)
+
+    def loadImage(self, index: int) -> np.ndarray:
+        from PIL import Image
+
+        cam = self.nusc.get("sample_data", self.token_list[index]["cam_token"])
+        img = Image.open(os.path.join(self.data_path, cam["filename"]))
+        sr, sc = self.image_scale(index)
+        if (sr, sc) != (1.0, 1.0):
+            img = img.resize((int(img.width * sc), int(img.height * sr)),
+                             Image.BILINEAR)
+        return np.asarray(img)
+
+    def camera_transform(self, index: int):
+        """(M 4x4 lidar→camera frame, K' 3x3 with pixel rescale folded)."""
+        rec = self.token_list[index]
+        lidar_sd = self.nusc.get("sample_data", rec["lidar_token"])
+        cam_sd = self.nusc.get("sample_data", rec["cam_token"])
+        l_cs = self.nusc.get("calibrated_sensor",
+                             lidar_sd["calibrated_sensor_token"])
+        l_pose = self.nusc.get("ego_pose", lidar_sd["ego_pose_token"])
+        c_pose = self.nusc.get("ego_pose", cam_sd["ego_pose_token"])
+        c_cs = self.nusc.get("calibrated_sensor",
+                             cam_sd["calibrated_sensor_token"])
+        M = (_pose_matrix(c_cs, inverse=True) @
+             _pose_matrix(c_pose, inverse=True) @
+             _pose_matrix(l_pose) @ _pose_matrix(l_cs))
+        K = np.asarray(c_cs["camera_intrinsic"], dtype=np.float64)
+        sr, sc = self.image_scale(index)
+        S = np.diag([sc, sr, 1.0])  # u scales with width, v with height
+        return M.astype(np.float32), (S @ K).astype(np.float32)

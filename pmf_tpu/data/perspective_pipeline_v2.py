@@ -56,6 +56,10 @@ class V2Config:
     img_mean: tuple = (12.12, 10.88, 0.23, -1.04, 0.21)
     img_stds: tuple = (12.32, 11.47, 6.91, 0.86, 0.16)
     pcd_aug: bool = False
+    cam_frame: bool = False    # NuscenesV2: points already in the camera
+                               # frame; yaw about (z, x), depth test on z
+                               # (dataset_nuscenes_v2.py:344-356)
+    min_depth_cam: float = 0.1
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
 
@@ -69,17 +73,37 @@ def _bbox(vals, keep, fallback=0):
 
 
 def build_v2_sample(key, points, labels, valid, proj_matrix, image,
-                    img_h, img_w, cfg: V2Config, train: bool):
+                    img_h, img_w, cfg: V2Config, train: bool,
+                    fov=None):
     """One scan → (feature [H,W,8] normalized, mask, label2d, per-point
-    (rows, cols, keep) in the output frame, depth)."""
+    (rows, cols, keep) in the output frame, depth).
+
+    `fov`: optional traced (fov_left, fov_right) radians pair overriding
+    the static config (NuscenesV2 per-camera FOV table,
+    dataset_nuscenes_v2.py:137-144).
+    """
     out_h, out_w = (cfg.proj_ht, cfg.proj_wt) if train else (cfg.proj_h, cfg.proj_w)
     k_aug, k_scale, k_flip, k_rot, k_top, k_left = jax.random.split(key, 6)
 
     if train and cfg.pcd_aug:
         points = augment_pointcloud(k_aug, points, cfg.augment)
 
-    rows_f, cols_f, keep = yaw_crop_project(
-        points[:, :3], proj_matrix, cfg.fov_left, cfg.fov_right, valid)
+    fov_l = cfg.fov_left if fov is None else fov[0]
+    fov_r = cfg.fov_right if fov is None else fov[1]
+    if cfg.cam_frame:
+        # camera-frame crop: yaw about (z, x), depth test on z (v2 ref)
+        xyz = points[:, :3]
+        keep = (xyz[:, 2] > cfg.min_depth_cam) & valid
+        yaw = -jnp.arctan2(xyz[:, 2], xyz[:, 0])
+        half_pi = jnp.pi / 2.0
+        keep &= (yaw >= fov_l - half_pi) & (yaw <= fov_r - half_pi)
+        uvw = (xyz[:, :, None] * proj_matrix.T[None, :3, :]).sum(1) \
+            + proj_matrix.T[3]
+        w = jnp.where(jnp.abs(uvw[:, 2]) > 1e-9, uvw[:, 2], 1e-9)
+        rows_f, cols_f = uvw[:, 1] / w, uvw[:, 0] / w
+    else:
+        rows_f, cols_f, keep = yaw_crop_project(
+            points[:, :3], proj_matrix, fov_l, fov_r, valid)
     scale = jax.random.uniform(k_scale, minval=cfg.scale_min,
                                maxval=cfg.scale_max) if train else jnp.float32(1.0)
     rows_f = rows_f * scale
@@ -179,26 +203,31 @@ def _bilinear_sample(image, rows, cols, img_h, img_w):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "train"))
 def build_v2_batch(key, points, labels, valid, proj_matrix, images,
-                   img_h, img_w, cfg: V2Config, train: bool):
+                   img_h, img_w, cfg: V2Config, train: bool, fovs=None):
     """Batched V2 preprocessing → (feature [B,H,W,8], mask, label)."""
     B = points.shape[0]
     keys = jax.random.split(key, B)
 
-    def one(k, pts, lab, val, P, img, ih, iw):
+    if fovs is None:
+        fovs = jnp.tile(jnp.asarray([[cfg.fov_left, cfg.fov_right]],
+                                    jnp.float32), (B, 1))
+
+    def one(k, pts, lab, val, P, img, ih, iw, fov):
         f, m, l, *_ = build_v2_sample(k, pts, lab, val, P, img, ih, iw,
-                                      cfg, train)
+                                      cfg, train, fov)
         return f, m, l
 
     return jax.vmap(one)(keys, points, labels, valid, proj_matrix, images,
-                         img_h, img_w)
+                         img_h, img_w, fovs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def build_v2_eval_sample_with_uproj(points, labels, valid, proj_matrix,
-                                    image, img_h, img_w, cfg: V2Config):
+                                    image, img_h, img_w, cfg: V2Config,
+                                    fov=None):
     """Eval path with per-point output-frame pixel coords (epmf_eval
     uproj mode)."""
     f, m, l, rows, cols, keep, depth = build_v2_sample(
         jax.random.PRNGKey(0), points, labels, valid, proj_matrix, image,
-        img_h, img_w, cfg, train=False)
+        img_h, img_w, cfg, train=False, fov=fov)
     return f, m, l, rows, cols, keep, depth

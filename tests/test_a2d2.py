@@ -1,0 +1,100 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pmf_tpu.data.a2d2 import A2D2_PV, undistort_image, MAPPED_CLASS_NAME
+
+
+def _make_mini_a2d2(root, n_frames=3, n_points=200, seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    classes = {"#ff0000": 1, "#00ff00": 27, "#0000ff": 34, "#ffffff": 35}
+    with open(os.path.join(root, "class_index.json"), "w") as f:
+        json.dump(classes, f)
+    cams = {"cameras": {"front_center": {
+        "CamMatrix": [[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]],
+        "CamMatrixOriginal": [[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]],
+        "Distortion": [0.0, 0.0, 0.0, 0.0, 0.0],
+        "Lens": "Telecam"}}}
+    with open(os.path.join(root, "cams_lidars.json"), "w") as f:
+        json.dump(cams, f)
+
+    seq = os.path.join(root, "20180807_145028")
+    colors = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                       [255, 255, 255]], np.uint8)
+    for sub in ["lidar/cam_front_center", "camera/cam_front_center",
+                "label/cam_front_center"]:
+        os.makedirs(os.path.join(seq, sub), exist_ok=True)
+    for i in range(n_frames):
+        pts = rng.uniform(-20, 20, (n_points, 3)).astype(np.float32)
+        refl = rng.uniform(0, 255, n_points).astype(np.float32)
+        rows = rng.uniform(0, 95, n_points).astype(np.float64)
+        cols = rng.uniform(0, 127, n_points).astype(np.float64)
+        np.savez(os.path.join(seq, "lidar/cam_front_center",
+                              f"2018_lidar_frontcenter_{i:09d}.npz"),
+                 points=pts, reflectance=refl, row=rows, col=cols)
+        img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+        Image.fromarray(img).save(os.path.join(
+            seq, "camera/cam_front_center",
+            f"2018_camera_frontcenter_{i:09d}.png"))
+        sem = colors[rng.integers(0, 4, (96, 128))]
+        Image.fromarray(sem).save(os.path.join(
+            seq, "label/cam_front_center",
+            f"2018_label_frontcenter_{i:09d}.png"))
+    return root
+
+
+@pytest.fixture(scope="module")
+def a2d2_root(tmp_path_factory):
+    return _make_mini_a2d2(str(tmp_path_factory.mktemp("a2d2")))
+
+
+def test_a2d2_adapter(a2d2_root):
+    ds = A2D2_PV(a2d2_root, os.path.join(a2d2_root, "cams_lidars.json"),
+                 os.path.join(a2d2_root, "class_index.json"),
+                 split="train", apply_excludes=False)
+    assert len(ds) == 3
+    pcd, sem, _ = ds.loadDataByIndex(0)
+    assert pcd.shape[1] == 4
+    assert set(np.unique(sem)).issubset({1, 27, 34, 35})
+    # labels decode exactly from the semantic PNG colors
+    from PIL import Image
+    sem_img = np.asarray(Image.open(ds.label_files[0]))
+    rows, cols = ds.pixel_indices(0)
+    lut = {0xFF0000: 1, 0x00FF00: 27, 0x0000FF: 34, 0xFFFFFF: 35}
+    want = np.array([lut[(int(sem_img[r, c, 0]) << 16) |
+                         (int(sem_img[r, c, 1]) << 8) | int(sem_img[r, c, 2])]
+                     for r, c in zip(rows, cols)])
+    np.testing.assert_array_equal(sem, want)
+    # zero-distortion undistort = identity
+    img = ds.loadImage(0)
+    raw = np.asarray(Image.open(ds.camera_files[0]))
+    np.testing.assert_array_equal(img, raw)
+    assert ds.labelMapping(sem) is sem  # identity mapping
+    assert ds.cls_freq[0] == 0
+
+
+def test_undistort_radtan_known_case():
+    """Pincushion distortion (k1>0) must pull pixels toward the center
+    when undistorting; center pixel stays fixed."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    K = np.array([[50.0, 0, 32], [0, 50.0, 32], [0, 0, 1]])
+    out = undistort_image(img, K, np.array([0.2, 0, 0, 0, 0]), K, "Telecam")
+    assert out.shape == img.shape
+    # center preserved exactly (r=0 → no distortion)
+    np.testing.assert_array_equal(out[32, 32], img[32, 32])
+    assert (out != img).any()
+
+
+def test_undistort_fisheye_runs():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    K = np.array([[40.0, 0, 32], [0, 40.0, 32], [0, 0, 1]])
+    out = undistort_image(img, K, np.array([0.05, 0.01, 0.0, 0.0]), K,
+                          "Fisheye")
+    assert out.shape == img.shape
+    np.testing.assert_array_equal(out[32, 32], img[32, 32])

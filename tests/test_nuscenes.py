@@ -199,3 +199,47 @@ def test_val_split_empty_when_all_scenes_train(nusc_root):
     ds2 = Nuscenes(nusc_root, version="v1.0-mini", split="val",
                    train_scene_names=[])
     assert len(ds2) == 12
+
+
+def test_nuscenes_v2_adapter_and_pipeline(nusc_root):
+    import jax
+    from pmf_tpu.data import NuscenesV2, nuscenes_v2_sample_reader
+    from pmf_tpu.data.perspective_pipeline_v2 import V2Config, build_v2_batch
+
+    ds = NuscenesV2(nusc_root, version="v1.0-mini", split="train")
+    assert len(ds) == 12
+    assert ds.cam_channel(0) == "CAM_FRONT"
+    fl, fr = ds.fov(0)
+    np.testing.assert_allclose([fl, fr], [-35 * np.pi / 180, 35 * np.pi / 180])
+    assert ds.image_scale(3) == (1.0, 1.0)  # CAM_BACK
+    assert ds.image_scale(0) == (0.5, 0.6)
+    # non-CAM_BACK image is resized
+    img = ds.loadImage(0)
+    assert img.shape == (112, 240, 3)
+    img_back = ds.loadImage(3)
+    assert img_back.shape == (224, 400, 3)
+
+    # camera transform: M maps lidar frame to camera frame consistently
+    # with the composed projection of the base adapter
+    M, K = ds.camera_transform(3)  # CAM_BACK → no rescale
+    P_base = ds.projection_matrix(3)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-10, 10, (20, 3))
+    cam = pts @ M[:3, :3].T + M[:3, 3]
+    uv1 = cam @ K.T
+    uv2 = np.c_[pts, np.ones(20)] @ P_base.T
+    np.testing.assert_allclose(uv1, uv2, rtol=1e-4, atol=1e-4)
+
+    cfg = V2Config(canvas_h=224, canvas_w=400, proj_h=64, proj_w=128,
+                   proj_ht=64, proj_wt=128, n_points=512, cam_frame=True)
+    reader = nuscenes_v2_sample_reader(ds, cfg)
+    s0, s1 = reader(0), reader(1)
+    batch = {k: np.stack([s0[k], s1[k]]) for k in s0}
+    f, m, l = build_v2_batch(
+        jax.random.PRNGKey(0), jnp.asarray(batch["points"]),
+        jnp.asarray(batch["labels"]), jnp.asarray(batch["valid"]),
+        jnp.asarray(batch["proj_matrix"]), jnp.asarray(batch["image"]),
+        jnp.asarray(batch["img_h"]), jnp.asarray(batch["img_w"]),
+        cfg, True, fovs=jnp.asarray(batch["fov"]))
+    assert f.shape == (2, 64, 128, 8)
+    assert np.isfinite(np.asarray(f)).all()
