@@ -18,13 +18,28 @@ import numpy as np
 from .perspective_pipeline import PVConfig, pad_image, pad_points
 
 
-def kitti_sample_reader(dataset, cfg: PVConfig) -> Callable[[int], dict]:
-    """Build a reader(index) → numpy sample dict for the PV pipeline."""
+def kitti_sample_reader(dataset, cfg: PVConfig,
+                        use_native: bool | None = None) -> Callable[[int], dict]:
+    """Build a reader(index) → numpy sample dict for the PV pipeline.
+
+    Uses the native C++ scan reader (native/loader.cpp: parallel read +
+    label decode + LUT + pad) when built, numpy otherwise.
+    """
+    from . import native as native_loader
+
+    if use_native is None:
+        use_native = native_loader.available() and getattr(
+            dataset, "has_label", True)
 
     def read(index: int) -> dict:
-        pcd, sem, _ = dataset.loadDataByIndex(index)
-        sem = dataset.labelMapping(sem)
-        points, labels, valid = pad_points(pcd, sem, cfg.n_points)
+        if use_native:
+            points, labels, valid, _ = native_loader.read_scan(
+                dataset.pointcloud_files[index], dataset.label_files[index],
+                dataset.class_map_lut, cfg.n_points)
+        else:
+            pcd, sem, _ = dataset.loadDataByIndex(index)
+            sem = dataset.labelMapping(sem)
+            points, labels, valid = pad_points(pcd, sem, cfg.n_points)
         img = dataset.loadImage(index)
         image, img_h, img_w = pad_image(img, cfg.canvas_h, cfg.canvas_w)
         seq, _ = dataset.parsePathInfoByIndex(index)

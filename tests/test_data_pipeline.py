@@ -178,3 +178,30 @@ def test_host_loader_sharding(kitti_root, pv_cfg):
     idx1 = [int(b["index"][0]) for b in l1]
     assert sorted(idx0 + idx1) == [0, 1, 2]
     assert not (set(idx0) & set(idx1))
+
+
+def test_native_loader_matches_numpy(kitti_root):
+    from pmf_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native loader not built")
+    ds = SemanticKitti(kitti_root, [0])
+    n_max = 1024
+    pts, labels, valid, n = native.read_scan(
+        ds.pointcloud_files[0], ds.label_files[0], ds.class_map_lut, n_max)
+    # numpy reference path
+    pcd, sem, _ = ds.loadDataByIndex(0)
+    mapped = ds.labelMapping(sem)
+    from pmf_tpu.data import pad_points
+    ref_pts, ref_lab, ref_val = pad_points(pcd, mapped, n_max)
+    assert n == len(pcd)
+    np.testing.assert_array_equal(pts, ref_pts)
+    np.testing.assert_array_equal(labels, ref_lab)
+    np.testing.assert_array_equal(valid, ref_val)
+
+    # batch variant
+    bp, bl, bv, counts = native.read_scan_batch(
+        ds.pointcloud_files[:3], ds.label_files[:3], ds.class_map_lut, n_max)
+    assert bp.shape == (3, n_max, 4)
+    np.testing.assert_array_equal(bp[0], ref_pts)
+    np.testing.assert_array_equal(counts, [800, 800, 800])
