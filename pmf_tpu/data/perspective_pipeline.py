@@ -121,6 +121,107 @@ def project_to_canvas(points, labels, valid, proj_matrix, image,
     }
 
 
+
+def _affine_params(key, img_h, img_w, cfg: PVConfig, train: bool):
+    """Sample the 2D-aug parameters (flip, θ, crop offset) of the view."""
+    if train:
+        ch, cw = cfg.train_crop
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        flip = jax.random.uniform(k1) < cfg.p_hflip
+        theta = jax.random.uniform(k2, minval=-cfg.rot_deg,
+                                   maxval=cfg.rot_deg) * jnp.pi / 180.0
+        top = jax.random.randint(k3, (), 0, jnp.maximum(img_h - ch, 0) + 1)
+        left = jax.random.randint(k4, (), 0, jnp.maximum(img_w - cw, 0) + 1)
+    else:
+        ch, cw = cfg.eval_crop
+        flip = jnp.bool_(False)
+        theta = jnp.float32(0.0)
+        top = jnp.maximum(img_h - ch, 0) // 2
+        left = jnp.maximum(img_w - cw, 0) // 2
+    return flip, theta, top, left
+
+
+def _build_view(key, points, labels, valid, proj_matrix, image,
+                img_h, img_w, cfg: PVConfig, train: bool):
+    """Project, 2D-augment and rasterize one scan straight into the
+    static output window.
+
+    TPU note: instead of scattering to an image-sized canvas and
+    resampling it (one huge gather — slow on TPU), the affine view
+    transform (flip → rotate → crop → pad) is applied FORWARD to the
+    per-point float pixel coords and the points are z-buffer-scattered
+    directly at the output resolution. RGB uses the inverse transform:
+    a 3-channel nearest gather when rotated/flipped (train), a pure
+    dynamic-slice + pad when not (eval).
+    """
+    out_h, out_w = (cfg.proj_ht, cfg.proj_wt) if train else (cfg.proj_h, cfg.proj_w)
+    if cfg.projection == "cam":
+        rows_f, cols_f, keep = perspective_project_cam(
+            points[:, :3], proj_matrix, img_h, img_w,
+            min_depth=cfg.min_depth, valid=valid)
+    else:
+        rows_f, cols_f, keep = perspective_project(points[:, :3], proj_matrix,
+                                                   img_h, img_w, valid)
+    depth = jnp.linalg.norm(points[:, :3], axis=-1)
+
+    flip, theta, top, left = _affine_params(key, img_h, img_w, cfg, train)
+    ch, cw = cfg.train_crop if train else cfg.eval_crop
+    cy = (img_h.astype(jnp.float32) - 1.0) / 2.0
+    cx = (img_w.astype(jnp.float32) - 1.0) / 2.0
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+
+    # forward map for points: int pixel (trunc like numpy scatter
+    # perspective_view_loader.py:92-93) → flip → rotate → crop → pad
+    pr = jnp.floor(rows_f)
+    pc = jnp.floor(cols_f)
+    pc = jnp.where(flip, img_w.astype(jnp.float32) - 1.0 - pc, pc)
+    dys, dxs = pr - cy, pc - cx
+    ro = cy + (-st * dxs + ct * dys) - top
+    co = cx + (ct * dxs + st * dys) - left
+    keep_out = keep & (ro >= -0.5) & (ro < ch - 0.5) & \
+        (co >= -0.5) & (co < cw - 0.5)
+    rows_o = jnp.round(ro).astype(jnp.int32) + cfg.h_pad
+    cols_o = jnp.round(co).astype(jnp.int32) + cfg.w_pad
+
+    winner, mask = zbuffer_scatter_packed(rows_o, cols_o, depth, keep_out,
+                                          out_h, out_w)
+    vals = jnp.concatenate(
+        [depth[:, None], points[:, :4], labels[:, None].astype(jnp.float32)],
+        axis=-1)
+    canvas = fill_canvas(vals, rows_o, cols_o, keep_out, winner, mask)
+    lab = canvas[..., 5].astype(jnp.int32)
+
+    # RGB view
+    if train:
+        yg = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0) - cfg.h_pad
+        xg = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1) - cfg.w_pad
+        dyo, dxo = (yg + top) - cy, (xg + left) - cx
+        src_c = cx + (ct * dxo - st * dyo)
+        src_r = cy + (st * dxo + ct * dyo)
+        src_c = jnp.where(flip, img_w.astype(jnp.float32) - 1.0 - src_c, src_c)
+        Hc, Wc = image.shape[0], image.shape[1]
+        iy = jnp.clip(jnp.round(src_r).astype(jnp.int32), 0, Hc - 1)
+        ix = jnp.clip(jnp.round(src_c).astype(jnp.int32), 0, Wc - 1)
+        inb = ((yg >= 0) & (yg < ch) & (xg >= 0) & (xg < cw) &
+               (src_r >= -0.5) & (src_r < img_h - 0.5) &
+               (src_c >= -0.5) & (src_c < img_w - 0.5))
+        rgb = jnp.where(inb[..., None], image[iy, ix], 0.0)
+    else:
+        # crop is a pure shift: slice the canvas, zero outside the pad
+        window = jax.lax.dynamic_slice(
+            image, (top, left, 0), (cfg.eval_crop[0], cfg.eval_crop[1], 3))
+        rgb = jnp.pad(window, ((cfg.h_pad, cfg.h_pad),
+                               (cfg.w_pad, cfg.w_pad), (0, 0)))
+        # zero pixels beyond the true image extent (canvas padding)
+        yg = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 0) - cfg.h_pad
+        xg = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1) - cfg.w_pad
+        inb = ((yg >= 0) & (yg + top < img_h) & (xg >= 0) & (xg + left < img_w))
+        rgb = jnp.where(inb[..., None], rgb, 0.0)
+
+    feature = jnp.concatenate([canvas[..., :5], rgb], axis=-1)
+    return feature, mask, lab, rows_o, cols_o, keep_out, depth
+
+
 def _affine_sample(planes: dict, src_y, src_x, in_bounds):
     """Nearest-gather feature/mask/label at float source coords.
 
@@ -223,11 +324,8 @@ def build_batch(key, points, labels, valid, proj_matrix, images,
     def one(k, pts, lab, val, P, img, ih, iw):
         if train and cfg.pcd_aug:
             pts = augment_pointcloud(k, pts, cfg.augment)
-        planes = project_to_canvas(pts, lab, val, P, img, ih, iw, cfg)
-        if train:
-            f, m, l = train_view(jax.random.fold_in(k, 1), planes, ih, iw, cfg)
-        else:
-            f, m, l = eval_view(planes, ih, iw, cfg)
+        f, m, l, *_ = _build_view(jax.random.fold_in(k, 1), pts, lab, val,
+                                  P, img, ih, iw, cfg, train)
         return normalize_feature(f, m, cfg), m, l
 
     return jax.vmap(one)(keys, points, labels, valid, proj_matrix, images,
@@ -243,17 +341,7 @@ def build_eval_sample_with_uproj(points, labels, valid, proj_matrix, image,
     Returns (feature [H,W,8] normalized, mask, label2d, rows, cols, keep,
     depth) — rows/cols are canvas-space integer pixel coords per point.
     """
-    planes = project_to_canvas(points, labels, valid, proj_matrix, image,
-                               img_h, img_w, cfg)
-    f, m, l = eval_view(planes, img_h, img_w, cfg)
-    # point pixel coords in the *network output* frame: image coords
-    # shifted by the center-crop offset and the re-pad
-    ch, cw = cfg.eval_crop
-    top = jnp.maximum(img_h - ch, 0) // 2
-    left = jnp.maximum(img_w - cw, 0) // 2
-    rows = jnp.floor(planes["point_rows"]).astype(jnp.int32) - top + cfg.h_pad
-    cols = jnp.floor(planes["point_cols"]).astype(jnp.int32) - left + cfg.w_pad
-    keep = (planes["point_keep"] & (rows >= 0) & (rows < cfg.proj_h) &
-            (cols >= 0) & (cols < cfg.proj_w))
-    return (normalize_feature(f, m, cfg), m, l, rows, cols, keep,
-            planes["point_depth"])
+    f, m, l, rows, cols, keep, depth = _build_view(
+        jax.random.PRNGKey(0), points, labels, valid, proj_matrix, image,
+        img_h, img_w, cfg, train=False)
+    return normalize_feature(f, m, cfg), m, l, rows, cols, keep, depth
