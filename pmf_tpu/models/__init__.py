@@ -1,6 +1,7 @@
 from .salsanext import SalsaNext, ResContextBlock, ResBlock, UpBlock
 from .resnet import ResNetEncoder, BasicBlock, Bottleneck
 from .pmf import PMFNet, SalsaNextFusion, RGBDecoder, ASPP, ResidualBasedFusionBlock
+from .modules import ConvUpSample, CSAttention
 from .epmf import (
     EPMFNet, SalsaNextFusionV2, RGBDecoderV2, SparseVariantConv,
     SparseResContextBlock,
@@ -13,4 +14,5 @@ __all__ = [
     "ResidualBasedFusionBlock",
     "EPMFNet", "SalsaNextFusionV2", "RGBDecoderV2", "SparseVariantConv",
     "SparseResContextBlock",
+    "ConvUpSample", "CSAttention",
 ]

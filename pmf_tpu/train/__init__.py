@@ -1,4 +1,5 @@
-from .schedules import warmup_cosine_lr, warmup_exp_lr
+from .schedules import (warmup_cosine_lr, warmup_exp_lr,
+    warmup_multistep_lr, clip_lr)
 from .optim import adamw, sgd_nesterov, hybrid_pmf_optimizer, adamw_amsgrad
 from .state import TrainState
 from .steps import (
@@ -11,7 +12,8 @@ from .recorder import Recorder
 from .trainer import Trainer, kitti_focal_alpha
 
 __all__ = [
-    "warmup_cosine_lr", "warmup_exp_lr",
+    "warmup_cosine_lr", "warmup_exp_lr", "warmup_multistep_lr",
+    "clip_lr",
     "adamw", "sgd_nesterov", "hybrid_pmf_optimizer", "adamw_amsgrad",
     "TrainState", "LossConfig", "pmf_losses", "salsanext_losses",
     "make_pmf_train_step", "make_pmf_eval_step",

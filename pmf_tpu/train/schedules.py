@@ -37,3 +37,30 @@ def warmup_exp_lr(lr: float, warmup_steps: int, decay: float):
         return jnp.where(step < warmup_steps, warm, exp)
 
     return schedule
+
+
+def warmup_multistep_lr(lr: float, warmup_steps: int, milestones,
+                        gamma: float = 0.1):
+    """Linear warmup then step decay at `milestones`
+    (pc_processor/utils/lr_scheduler.py WarmupMultiStepLR parity)."""
+    warmup_steps = max(warmup_steps, 1)
+    milestones = tuple(sorted(milestones))
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * step / warmup_steps
+        n_passed = sum(jnp.asarray(step >= m, jnp.float32)
+                       for m in milestones)
+        decayed = lr * gamma ** n_passed
+        return jnp.where(step < warmup_steps, warm, decayed)
+
+    return schedule
+
+
+def clip_lr(schedule, min_lr: float):
+    """Floor an existing schedule (lr_scheduler.py ClipLR parity)."""
+
+    def clipped(step):
+        return jnp.maximum(schedule(step), min_lr)
+
+    return clipped

@@ -349,7 +349,10 @@ class Trainer:
         total_iter = len(loader)
         t_start = time.time()
 
+        profile_dir = self.opts.config.get("profile_dir")
         for i, batch in enumerate(loader):
+            if profile_dir and train and epoch == 0 and i == 2:
+                jax.profiler.start_trace(profile_dir)
             t_proc = time.time()
             self._key, kp, kd = jax.random.split(self._key, 3)
             feature, label = self._device_batch(batch, train, kp)
@@ -382,6 +385,9 @@ class Trainer:
                     f"I[{total_iter:04d}|{i + 1:04d}] DT[{data_t:.3f}] "
                     f"PT[{proc_t:.3f}] LR {lr:.5f} Loss {loss:.4f} "
                     f"Acc {macc:.4f} IOU {miou:.4f} RT {rt}")
+            if profile_dir and train and epoch == 0 and i == 4:
+                jax.profiler.stop_trace()
+                profile_dir = None
             if self.opts.is_debug:
                 break
 

@@ -98,3 +98,47 @@ def test_undistort_fisheye_runs():
                           "Fisheye")
     assert out.shape == img.shape
     np.testing.assert_array_equal(out[32, 32], img[32, 32])
+
+
+def test_a2d2_inference_task(a2d2_root, tmp_path):
+    import yaml
+    import jax
+    import jax.numpy as jnp
+    from pmf_tpu.config import load_options
+    from pmf_tpu.models import PMFNet
+    from pmf_tpu.train.checkpoint import CheckpointManager
+    from pmf_tpu.tools.infer_a2d2 import A2D2Inference
+
+    cfg = {
+        "save_path": str(tmp_path / "exp"),
+        "dataset": "A2D2", "nclasses": 39, "data_root": a2d2_root,
+        "net_type": "PMFNet", "base_channels": 8, "img_backbone": "resnet34",
+        "experiment_id": "a2d2", "batch_size": [1, 1],
+        "apply_excludes": False,
+        "PVconfig": {"proj_h": 96, "proj_w": 128, "n_points": 512,
+                     "pcd_mean": [12.12, 10.88, 0.23, -1.04, 0.21],
+                     "pcd_stds": [12.32, 11.47, 6.91, 0.86, 0.16]},
+    }
+    cfg_path = str(tmp_path / "a2d2.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    opts = load_options(cfg_path)
+
+    model = PMFNet(nclasses=39, base_channels=8, image_backbone="resnet34")
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 48, 5)), jnp.zeros((1, 32, 48, 3)), train=False)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save_best({"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]}, "last")
+
+    preds = str(tmp_path / "preds")
+    inf = A2D2Inference(opts, str(tmp_path / "ckpt" / "best_last_model"),
+                        save_preds=preds, split="train")
+    out = inf.run(max_scans=2)
+    assert np.isfinite(out["mIoU"])
+    files = os.listdir(preds)
+    assert len(files) == 2
+    assert all(f.endswith(".label") and "pred" in f for f in files)
+    pred = np.fromfile(os.path.join(preds, files[0]), np.int32)
+    assert pred.shape[0] == 200
