@@ -25,6 +25,9 @@ from ..data import (
     PVConfig, SemanticKitti, build_eval_sample_with_uproj,
     kitti_sample_reader,
 )
+from ..data.perspective_pipeline_v2 import (
+    V2Config, build_v2_eval_sample_with_uproj,
+)
 from ..data.augment import AugmentConfig
 from ..metrics import IOUEval
 from ..models import EPMFNet, PMFNet
@@ -49,18 +52,32 @@ class Inference:
         self.use_knn = use_knn
         self.save_preds = save_preds
         self.recorder = recorder
-        sensor = opts.group("sensor")
-        self.pv_cfg = PVConfig(
-            canvas_h=int(sensor.get("canvas_h", 384)),
-            canvas_w=int(sensor.get("canvas_w", 1248)),
-            proj_h=int(sensor.get("proj_h", 384)),
-            proj_w=int(sensor.get("proj_w", 1232)),
-            h_pad=int(sensor.get("h_pad", 7)),
-            w_pad=int(sensor.get("w_pad", 3)),
-            n_points=int(sensor.get("n_points", 131072)),
-            img_mean=tuple(sensor.get("img_mean", PVConfig.img_mean)),
-            img_stds=tuple(sensor.get("img_stds", PVConfig.img_stds)),
-            augment=AugmentConfig())
+        self.is_v2 = opts.net_type == "EPMFNet"
+        sensor = opts.group("PVconfig") if self.is_v2 and \
+            opts.group("PVconfig") else opts.group("sensor")
+        if self.is_v2:
+            self.pv_cfg = V2Config(
+                canvas_h=int(sensor.get("canvas_h", 384)),
+                canvas_w=int(sensor.get("canvas_w", 1248)),
+                proj_h=int(sensor.get("proj_h", 320)),
+                proj_w=int(sensor.get("proj_w", 1280)),
+                proj_ht=int(sensor.get("proj_ht", 320)),
+                proj_wt=int(sensor.get("proj_wt", 1280)),
+                n_points=int(sensor.get("n_points", 131072)),
+                img_mean=tuple(sensor.get("pcd_mean", V2Config.img_mean)),
+                img_stds=tuple(sensor.get("pcd_stds", V2Config.img_stds)))
+        else:
+            self.pv_cfg = PVConfig(
+                canvas_h=int(sensor.get("canvas_h", 384)),
+                canvas_w=int(sensor.get("canvas_w", 1248)),
+                proj_h=int(sensor.get("proj_h", 384)),
+                proj_w=int(sensor.get("proj_w", 1232)),
+                h_pad=int(sensor.get("h_pad", 7)),
+                w_pad=int(sensor.get("w_pad", 3)),
+                n_points=int(sensor.get("n_points", 131072)),
+                img_mean=tuple(sensor.get("img_mean", PVConfig.img_mean)),
+                img_stds=tuple(sensor.get("img_stds", PVConfig.img_stds)),
+                augment=AugmentConfig())
         knn_params = opts.group("post").get("KNN", {}).get("params", {})
         self.knn_params = {
             "knn": int(knn_params.get("knn", 5)),
@@ -102,7 +119,9 @@ class Inference:
         t_total = 0.0
         for i in range(n):
             s = self.reader(i)
-            f, m, l2d, rows, cols, keep, depth = build_eval_sample_with_uproj(
+            build = build_v2_eval_sample_with_uproj if self.is_v2 \
+                else build_eval_sample_with_uproj
+            f, m, l2d, rows, cols, keep, depth = build(
                 jnp.asarray(s["points"]), jnp.asarray(s["labels"]),
                 jnp.asarray(s["valid"]), jnp.asarray(s["proj_matrix"]),
                 jnp.asarray(s["image"]), s["img_h"], s["img_w"], self.pv_cfg)
