@@ -65,10 +65,11 @@ class BatchNorm(nn.Module):
     def __call__(self, x, use_running_average: bool | None = None):
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
-        y = nn.BatchNorm(use_running_average=ura, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32)(x.astype(jnp.float32))
-        return y.astype(self.dtype)
+        # flax computes mean/var in f32 internally for half dtypes; the
+        # activation stays in self.dtype (no cast round trips)
+        return nn.BatchNorm(use_running_average=ura, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype,
+                            param_dtype=jnp.float32)(x)
 
 
 class Dropout2d(nn.Module):
