@@ -27,8 +27,42 @@ def _pad2(p) -> Sequence[tuple[int, int]]:
     return ((p[0], p[0]), (p[1], p[1]))
 
 
+class _PackedConvInner(nn.Module):
+    """Holds the ORIGINAL full-res kernel params but applies the conv in
+    the space-to-depth domain (ops.packed_conv). Named "Conv_0" by the
+    caller so parameter paths match the unpacked nn.Conv exactly —
+    checkpoints are interchangeable between packed and unpacked modes.
+    """
+    features: int
+    kernel: tuple[int, int]
+    padding: tuple[int, int]
+    dilation: int
+    use_bias: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, xp):
+        from ..ops.packed_conv import packed_conv
+
+        ci = xp.shape[-1] // 4
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (*self.kernel, ci, self.features), jnp.float32)
+        y = packed_conv(xp.astype(self.dtype), k.astype(self.dtype),
+                        dil=self.dilation, padding=self.padding)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + jnp.tile(b.astype(self.dtype), 4)
+        return y
+
+
 class Conv(nn.Module):
-    """Conv2d with torch-style integer padding."""
+    """Conv2d with torch-style integer padding.
+
+    With packed=True the input/output are space-to-depth tensors and the
+    conv runs in the packed domain (same parameters, exact math) — the
+    TPU-native fast path for low-channel full-resolution stages.
+    """
     features: int
     kernel: tuple[int, int] = (3, 3)
     stride: int = 1
@@ -36,9 +70,17 @@ class Conv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.packed:
+            assert self.stride == 1, "packed conv supports stride 1 only"
+            pad = self.padding if isinstance(self.padding, tuple) \
+                else (self.padding, self.padding)
+            return _PackedConvInner(self.features, self.kernel, pad,
+                                    self.dilation, self.use_bias,
+                                    self.dtype, name="Conv_0")(x)
         return nn.Conv(self.features, self.kernel,
                        strides=(self.stride, self.stride),
                        padding=_pad2(self.padding),
@@ -60,11 +102,21 @@ class BatchNorm(nn.Module):
     """
     use_running_average: bool | None = None
     dtype: jnp.dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None):
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
+        if self.packed:
+            # statistics must pool the 4 spatial phases together to match
+            # full-res per-channel BN exactly
+            N, Hp, Wp, Crr = x.shape
+            x5 = x.reshape(N, Hp, Wp, 4, Crr // 4)
+            y = nn.BatchNorm(use_running_average=ura, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x5)
+            return y.reshape(N, Hp, Wp, Crr)
         # flax computes mean/var in f32 internally for half dtypes; the
         # activation stays in self.dtype (no cast round trips)
         return nn.BatchNorm(use_running_average=ura, momentum=0.9,

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.packed_conv import depth_to_space, space_to_depth
 from ..ops.resize import upsample_bilinear
 from .layers import BatchNorm, Conv, leaky_relu
 from .resnet import ResNetEncoder
@@ -85,18 +86,22 @@ class SalsaNextFusion(nn.Module):
     dropout_rate: float = 0.2
     softmax: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_packed: bool = False  # run full-res stages in the
+                              # space-to-depth domain (exact, ~TPU 2x)
 
     @nn.compact
     def __call__(self, x, img_features, train: bool = False):
         bc = self.base_channels
-        dt = self.dtype
+        dt, pk = self.dtype, self.use_packed
         x = x.astype(dt)
-        c = ResContextBlock(bc, dtype=dt, name="downCntx")(x, train)
-        c = ResContextBlock(bc, dtype=dt, name="downCntx2")(c, train)
-        c = ResContextBlock(bc, dtype=dt, name="downCntx3")(c, train)
+        if pk:
+            x = space_to_depth(x)
+        c = ResContextBlock(bc, dtype=dt, packed=pk, name="downCntx")(x, train)
+        c = ResContextBlock(bc, dtype=dt, packed=pk, name="downCntx2")(c, train)
+        c = ResContextBlock(bc, dtype=dt, packed=pk, name="downCntx3")(c, train)
 
         down0c, down0b = ResBlock(2 * bc, self.dropout_rate, pooling=True,
-                                  drop_out=False, dtype=dt,
+                                  drop_out=False, dtype=dt, packed=pk,
                                   name="resBlock1")(c, train)
         down0c = ResidualBasedFusionBlock(2 * bc, dtype=dt, name="fusionblock_1")(
             down0c, img_features[0], train)
@@ -127,9 +132,12 @@ class SalsaNextFusion(nn.Module):
         up2e = UpBlock(2 * bc, self.dropout_rate, dtype=dt,
                        name="upBlock3")(up3e, down1b, train)
         up1e = UpBlock(bc, self.dropout_rate, drop_out=False, dtype=dt,
-                       name="upBlock4")(up2e, down0b, train)
-        logits = Conv(self.nclasses, (1, 1), dtype=dt,
-                      name="logits")(up1e).astype(jnp.float32)
+                       packed=pk, name="upBlock4")(up2e, down0b, train)
+        logits = Conv(self.nclasses, (1, 1), dtype=dt, packed=pk,
+                      name="logits")(up1e)
+        if pk:
+            logits = depth_to_space(logits)
+        logits = logits.astype(jnp.float32)
         if self.softmax:
             return jax.nn.softmax(logits, axis=-1)
         return logits
@@ -172,18 +180,20 @@ class PMFNet(nn.Module):
     image_backbone: str = "resnet34"
     dropout_rate: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    use_packed: bool = False
 
     def setup(self):
         self.camera_stream_encoder = ResNetEncoder(
             backbone=self.image_backbone, dropout_rate=self.dropout_rate,
-            dtype=self.dtype)
+            dtype=self.dtype, packed_stem=self.use_packed)
         self.camera_stream_decoder = RGBDecoder(
             nclasses=self.nclasses,
             base_channels=self.camera_stream_encoder.expansion * 16,
             dtype=self.dtype)
         self.lidar_stream = SalsaNextFusion(
             nclasses=self.nclasses, base_channels=self.base_channels,
-            dropout_rate=self.dropout_rate, dtype=self.dtype)
+            dropout_rate=self.dropout_rate, dtype=self.dtype,
+            use_packed=self.use_packed)
 
     def __call__(self, pcd_feature, img_feature, train: bool = False):
         img_feats = self.camera_stream_encoder(img_feature, train)

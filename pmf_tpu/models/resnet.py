@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.packed_conv import packed_max_pool_3x3_s2, space_to_depth
 from .layers import BatchNorm, Conv, Dropout2d, max_pool_3x3_s2
 
 _STAGES = {
@@ -85,6 +86,8 @@ class ResNetEncoder(nn.Module):
     backbone: str = "resnet34"
     dropout_rate: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    packed_stem: bool = False  # run the stride-1 7x7 stem in the
+                               # space-to-depth domain (exact, faster)
 
     @property
     def expansion(self) -> int:
@@ -106,11 +109,20 @@ class ResNetEncoder(nn.Module):
 
         x = x.astype(self.dtype)
         # stem: 7x7 stride-1 conv (PMF trick), BN, relu, 3x3/2 maxpool
-        out = Conv(64, (7, 7), stride=1, padding=3, use_bias=False,
-                   dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(dtype=self.dtype, name="bn1")(out, use_running_average=not train)
-        out = nn.relu(out)
-        out = max_pool_3x3_s2(out)
+        if self.packed_stem:
+            xp = space_to_depth(x)
+            out = Conv(64, (7, 7), stride=1, padding=3, use_bias=False,
+                       dtype=self.dtype, packed=True, name="conv1")(xp)
+            out = BatchNorm(dtype=self.dtype, packed=True, name="bn1")(
+                out, use_running_average=not train)
+            out = nn.relu(out)
+            out = packed_max_pool_3x3_s2(out, 64)
+        else:
+            out = Conv(64, (7, 7), stride=1, padding=3, use_bias=False,
+                       dtype=self.dtype, name="conv1")(x)
+            out = BatchNorm(dtype=self.dtype, name="bn1")(out, use_running_average=not train)
+            out = nn.relu(out)
+            out = max_pool_3x3_s2(out)
 
         feats = []
         widths = [64, 128, 256, 512]

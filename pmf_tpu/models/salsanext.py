@@ -14,6 +14,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.packed_conv import (packed_avg_pool_3x3_s2, packed_concat,
+                                pixel_shuffle_to_packed, space_to_depth,
+                                depth_to_space)
 from ..ops.resize import pixel_shuffle
 from .layers import BatchNorm, Conv, Dropout2d, avg_pool_3x3_s2, leaky_relu
 
@@ -25,17 +28,21 @@ class ResContextBlock(nn.Module):
     """
     features: int
     dtype: jnp.dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        dt = self.dtype
-        shortcut = leaky_relu(Conv(self.features, (1, 1), dtype=dt, name="conv1")(x))
+        dt, pk = self.dtype, self.packed
+        shortcut = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
+                                   name="conv1")(x))
         resA = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
-                               name="conv2")(shortcut))
-        resA1 = BatchNorm(dtype=dt, name="bn1")(resA, use_running_average=not train)
+                               packed=pk, name="conv2")(shortcut))
+        resA1 = BatchNorm(dtype=dt, packed=pk, name="bn1")(
+            resA, use_running_average=not train)
         resA = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
-                               dtype=dt, name="conv3")(resA1))
-        resA2 = BatchNorm(dtype=dt, name="bn2")(resA, use_running_average=not train)
+                               dtype=dt, packed=pk, name="conv3")(resA1))
+        resA2 = BatchNorm(dtype=dt, packed=pk, name="bn2")(
+            resA, use_running_average=not train)
         return shortcut + resA2
 
 
@@ -50,30 +57,41 @@ class ResBlock(nn.Module):
     pooling: bool = True
     drop_out: bool = True
     dtype: jnp.dtype = jnp.float32
+    packed: bool = False   # packed in/out (skip); pooled output unpacked
 
     @nn.compact
     def __call__(self, x, train: bool):
-        dt = self.dtype
-        shortcut = leaky_relu(Conv(self.features, (1, 1), dtype=dt, name="conv1")(x))
+        dt, pk = self.dtype, self.packed
+        cat = packed_concat if pk else (lambda ts: jnp.concatenate(ts, -1))
+        shortcut = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
+                                   name="conv1")(x))
         resA = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
-                               name="conv2")(x))
-        resA1 = BatchNorm(dtype=dt, name="bn1")(resA, use_running_average=not train)
+                               packed=pk, name="conv2")(x))
+        resA1 = BatchNorm(dtype=dt, packed=pk, name="bn1")(
+            resA, use_running_average=not train)
         resA = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
-                               dtype=dt, name="conv3")(resA1))
-        resA2 = BatchNorm(dtype=dt, name="bn2")(resA, use_running_average=not train)
+                               dtype=dt, packed=pk, name="conv3")(resA1))
+        resA2 = BatchNorm(dtype=dt, packed=pk, name="bn2")(
+            resA, use_running_average=not train)
         resA = leaky_relu(Conv(self.features, (2, 2), padding=1, dilation=2,
-                               dtype=dt, name="conv4")(resA2))
-        resA3 = BatchNorm(dtype=dt, name="bn3")(resA, use_running_average=not train)
-        concat = jnp.concatenate([resA1, resA2, resA3], axis=-1)
-        resA = leaky_relu(Conv(self.features, (1, 1), dtype=dt, name="conv5")(concat))
-        resA = BatchNorm(dtype=dt, name="bn4")(resA, use_running_average=not train)
+                               dtype=dt, packed=pk, name="conv4")(resA2))
+        resA3 = BatchNorm(dtype=dt, packed=pk, name="bn3")(
+            resA, use_running_average=not train)
+        concat = cat([resA1, resA2, resA3])
+        resA = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
+                               name="conv5")(concat))
+        resA = BatchNorm(dtype=dt, packed=pk, name="bn4")(
+            resA, use_running_average=not train)
         resA = shortcut + resA
 
         resB = resA
         if self.drop_out:
+            assert not pk, "dropout inside packed blocks is not supported"
             resB = Dropout2d(self.dropout_rate, name="dropout")(resB, deterministic=not train)
         if self.pooling:
-            return avg_pool_3x3_s2(resB), resA
+            pool = (lambda t: packed_avg_pool_3x3_s2(t, self.features)) \
+                if pk else avg_pool_3x3_s2
+            return pool(resB), resA
         return resB
 
 
@@ -86,31 +104,44 @@ class UpBlock(nn.Module):
     dropout_rate: float = 0.2
     drop_out: bool = True
     dtype: jnp.dtype = jnp.float32
+    packed: bool = False   # x unpacked half-res; skip + output packed
 
     @nn.compact
     def __call__(self, x, skip, train: bool):
-        dt = self.dtype
+        dt, pk = self.dtype, self.packed
         det = not train
-        upA = pixel_shuffle(x, 2)
-        if self.drop_out:
-            upA = Dropout2d(self.dropout_rate, name="dropout1")(upA, deterministic=det)
-        upB = jnp.concatenate([upA, skip], axis=-1)
-        if self.drop_out:
-            upB = Dropout2d(self.dropout_rate, name="dropout2")(upB, deterministic=det)
+        if pk:
+            assert not self.drop_out, \
+                "dropout inside packed blocks is not supported"
+            upA = pixel_shuffle_to_packed(x)   # reshape-only upsample
+            upB = packed_concat([upA, skip])
+        else:
+            upA = pixel_shuffle(x, 2)
+            if self.drop_out:
+                upA = Dropout2d(self.dropout_rate, name="dropout1")(upA, deterministic=det)
+            upB = jnp.concatenate([upA, skip], axis=-1)
+            if self.drop_out:
+                upB = Dropout2d(self.dropout_rate, name="dropout2")(upB, deterministic=det)
+        cat = packed_concat if pk else (lambda ts: jnp.concatenate(ts, -1))
 
         upE = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
-                              name="conv1")(upB))
-        upE1 = BatchNorm(dtype=dt, name="bn1")(upE, use_running_average=not train)
+                              packed=pk, name="conv1")(upB))
+        upE1 = BatchNorm(dtype=dt, packed=pk, name="bn1")(
+            upE, use_running_average=not train)
         upE = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
-                              dtype=dt, name="conv2")(upE1))
-        upE2 = BatchNorm(dtype=dt, name="bn2")(upE, use_running_average=not train)
+                              dtype=dt, packed=pk, name="conv2")(upE1))
+        upE2 = BatchNorm(dtype=dt, packed=pk, name="bn2")(
+            upE, use_running_average=not train)
         upE = leaky_relu(Conv(self.features, (2, 2), padding=1, dilation=2,
-                              dtype=dt, name="conv3")(upE2))
-        upE3 = BatchNorm(dtype=dt, name="bn3")(upE, use_running_average=not train)
-        concat = jnp.concatenate([upE1, upE2, upE3], axis=-1)
-        upE = leaky_relu(Conv(self.features, (1, 1), dtype=dt, name="conv4")(concat))
-        upE = BatchNorm(dtype=dt, name="bn4")(upE, use_running_average=not train)
-        if self.drop_out:
+                              dtype=dt, packed=pk, name="conv3")(upE2))
+        upE3 = BatchNorm(dtype=dt, packed=pk, name="bn3")(
+            upE, use_running_average=not train)
+        concat = cat([upE1, upE2, upE3])
+        upE = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
+                              name="conv4")(concat))
+        upE = BatchNorm(dtype=dt, packed=pk, name="bn4")(
+            upE, use_running_average=not train)
+        if self.drop_out and not pk:
             upE = Dropout2d(self.dropout_rate, name="dropout3")(upE, deterministic=det)
         return upE
 
