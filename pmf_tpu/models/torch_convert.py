@@ -6,7 +6,8 @@ ImageNet-pretrained torchvision state_dict into the encoder, keeping the
 ResNet state_dict (a `.pth` of tensors, or an `.npz` with the same key
 names) into our flax parameter tree:
 
-  conv weights:  torch [O, I, Kh, Kw] → flax [Kh, Kw, I, O]
+  conv weights:  torch [O, I, Kh, Kw] → flax [Kh, Kw, I, O] (nested
+                 under the Conv wrapper's inner scope `Conv_0`)
   bn params:     weight→scale, bias→bias; running stats → batch_stats
   layer naming:  torch layer{s}.{i}.conv{j} → flax layer{s}_{i}/conv{j}
   downsample:    torch layer{s}.{i}.downsample.{0,1} →
@@ -46,7 +47,7 @@ def convert_resnet_state_dict(sd: dict) -> tuple[dict, dict]:
         v = np.asarray(v)
         parts = key.split(".")
         if parts[0] == "conv1" and parts[1] == "weight":
-            put(params, ("conv1", "kernel"), conv_w(v))
+            put(params, ("conv1", "Conv_0", "kernel"), conv_w(v))
         elif parts[0] == "bn1":
             _put_bn(params, stats, ("bn1",), parts[1], v, put)
         elif parts[0].startswith("layer"):
@@ -55,13 +56,14 @@ def convert_resnet_state_dict(sd: dict) -> tuple[dict, dict]:
             mod = parts[2]            # conv1 / bn1 / downsample
             name = f"{stage}_{blk}"
             if mod.startswith("conv"):
-                put(params, (name, mod, "kernel"), conv_w(v))
+                put(params, (name, mod, "Conv_0", "kernel"), conv_w(v))
             elif mod.startswith("bn"):
                 _put_bn(params, stats, (name, mod), parts[3], v, put)
             elif mod == "downsample":
                 sub = parts[3]
                 if parts[2 + 1] == "0":  # conv
-                    put(params, (name, "downsample_conv", "kernel"), conv_w(v))
+                    put(params, (name, "downsample_conv", "Conv_0", "kernel"),
+                        conv_w(v))
                 else:  # "1" → bn
                     _put_bn(params, stats, (name, "downsample_bn"),
                             parts[4], v, put)

@@ -126,3 +126,63 @@ def test_partial_load_shape_mismatch_skipped():
     out = partial_load(target, source)
     np.testing.assert_array_equal(out["a"], np.ones((2, 3)))
     np.testing.assert_array_equal(out["b"]["c"], np.zeros(4))
+
+
+def test_torch_convert_roundtrip():
+    """Fabricate a torchvision-style resnet34 state_dict (subset) and
+    check the converter places tensors correctly."""
+    torch = pytest.importorskip("torch")
+    from pmf_tpu.models.torch_convert import convert_resnet_state_dict
+
+    rng = np.random.default_rng(0)
+    sd = {
+        "conv1.weight": torch.from_numpy(
+            rng.normal(size=(64, 3, 7, 7)).astype(np.float32)),
+        "bn1.weight": torch.from_numpy(rng.normal(size=64).astype(np.float32)),
+        "bn1.bias": torch.from_numpy(rng.normal(size=64).astype(np.float32)),
+        "bn1.running_mean": torch.from_numpy(np.zeros(64, np.float32)),
+        "bn1.running_var": torch.from_numpy(np.ones(64, np.float32)),
+        "bn1.num_batches_tracked": torch.tensor(0),
+        "layer1.0.conv1.weight": torch.from_numpy(
+            rng.normal(size=(64, 64, 3, 3)).astype(np.float32)),
+        "layer1.0.bn1.weight": torch.from_numpy(
+            rng.normal(size=64).astype(np.float32)),
+        "layer2.0.downsample.0.weight": torch.from_numpy(
+            rng.normal(size=(128, 64, 1, 1)).astype(np.float32)),
+        "layer2.0.downsample.1.running_var": torch.from_numpy(
+            np.ones(128, np.float32)),
+        "fc.weight": torch.from_numpy(rng.normal(size=(1000, 512)).astype(np.float32)),
+    }
+    sd_np = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    params, stats = convert_resnet_state_dict(sd_np)
+    np.testing.assert_array_equal(
+        params["conv1"]["Conv_0"]["kernel"],
+        np.transpose(sd_np["conv1.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(params["bn1"]["BatchNorm_0"]["scale"],
+                                  sd_np["bn1.weight"])
+    np.testing.assert_array_equal(stats["bn1"]["BatchNorm_0"]["mean"],
+                                  sd_np["bn1.running_mean"])
+    np.testing.assert_array_equal(
+        params["layer1_0"]["conv1"]["Conv_0"]["kernel"],
+        np.transpose(sd_np["layer1.0.conv1.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        params["layer2_0"]["downsample_conv"]["Conv_0"]["kernel"],
+        np.transpose(sd_np["layer2.0.downsample.0.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        stats["layer2_0"]["downsample_bn"]["BatchNorm_0"]["var"],
+        sd_np["layer2.0.downsample.1.running_var"])
+    assert "fc" not in params
+
+    # converted weights slot into the real encoder via partial_load
+    import jax
+    import jax.numpy as jnp
+    from pmf_tpu.models.resnet import ResNetEncoder
+    from pmf_tpu.train.checkpoint import partial_load
+
+    enc = ResNetEncoder(backbone="resnet34")
+    v = enc.init({"params": jax.random.PRNGKey(0)},
+                 jnp.zeros((1, 32, 48, 3)), train=False)
+    merged = partial_load(dict(v["params"]), params)
+    np.testing.assert_array_equal(
+        np.asarray(merged["conv1"]["Conv_0"]["kernel"]),
+        np.transpose(sd_np["conv1.weight"], (2, 3, 1, 0)))
