@@ -127,6 +127,9 @@ class Trainer:
             self.mapped_cls_name[0] = "ignore"
         elif opts.dataset == "nuScenes":
             version = opts.config.get("nusc_version", "v1.0-trainval")
+            if opts.is_debug:
+                # debug runs use the mini DB (tasks/epmf/trainer.py:153-156)
+                version = "v1.0-mini"
             splits_file = opts.config.get("nusc_splits_file")
             trainset = Nuscenes(opts.data_root, version=version, split="train",
                                 splits_file=splits_file)
