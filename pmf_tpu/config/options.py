@@ -45,6 +45,8 @@ class Options:
 
     # model
     net_type: str = "PMFNet"      # PMFNet | EPMFNet | SalsaNext
+    compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
+    use_packed: bool = False        # space-to-depth full-res stages
     base_channels: int = 32
     img_backbone: str = "resnet34"
     imagenet_pretrained: bool = False

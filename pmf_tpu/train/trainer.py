@@ -240,17 +240,22 @@ class Trainer:
     # ----------------------------------------------------------- model
     def _init_model(self):
         opts = self.opts
+        dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" \
+            else jnp.float32
         if opts.net_type == "PMFNet":
             self.model = PMFNet(nclasses=opts.nclasses,
                                 base_channels=opts.base_channels,
-                                image_backbone=opts.img_backbone)
+                                image_backbone=opts.img_backbone,
+                                dtype=dtype, use_packed=opts.use_packed)
         elif opts.net_type == "EPMFNet":
             self.model = EPMFNet(nclasses=opts.nclasses,
                                  base_channels=opts.base_channels,
-                                 image_backbone=opts.img_backbone)
+                                 image_backbone=opts.img_backbone,
+                                 dtype=dtype)
         elif opts.net_type == "SalsaNext":
             self.model = SalsaNext(nclasses=opts.nclasses,
-                                   base_channels=opts.base_channels)
+                                   base_channels=opts.base_channels,
+                                   dtype=dtype)
         else:
             raise ValueError(f"invalid net_type: {opts.net_type}")
 
