@@ -186,3 +186,16 @@ def test_torch_convert_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(merged["conv1"]["Conv_0"]["kernel"]),
         np.transpose(sd_np["conv1.weight"], (2, 3, 1, 0)))
+
+
+def test_warmup_multistep_and_clip():
+    from pmf_tpu.train import warmup_multistep_lr, clip_lr
+
+    s = warmup_multistep_lr(0.01, warmup_steps=10, milestones=[100, 200],
+                            gamma=0.1)
+    np.testing.assert_allclose(float(s(5)), 0.005, rtol=1e-6)
+    np.testing.assert_allclose(float(s(50)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(s(150)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(s(250)), 0.0001, rtol=1e-6)
+    c = clip_lr(s, 0.001)
+    np.testing.assert_allclose(float(c(250)), 0.001, rtol=1e-6)
