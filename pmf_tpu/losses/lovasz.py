@@ -49,6 +49,7 @@ def lovasz_softmax_loss(probs: jax.Array, labels: jax.Array,
     C = probs.shape[-1]
     p = probs.reshape(-1, C).astype(jnp.float32)
     y = labels.reshape(-1)
+    P = p.shape[0]
 
     ok = jnp.ones(y.shape, dtype=bool)
     if ignore is not None:
@@ -60,11 +61,24 @@ def lovasz_softmax_loss(probs: jax.Array, labels: jax.Array,
     fg = (jax.nn.one_hot(y, C, dtype=jnp.float32) * ok[:, None].astype(jnp.float32)).T
     err = jnp.abs(fg - p.T) * ok[None, :].astype(jnp.float32)
 
-    # Descending sort of errors per class; reorder fg with the same perm.
-    neg_sorted, perm = jax.lax.sort_key_val(-err, fg, dimension=1)
-    err_sorted = -neg_sorted
-    grad = _lovasz_grad_batched(perm)  # perm now holds fg_sorted
-    per_class = (err_sorted * grad).sum(axis=1)
+    # TPU-native gradient construction: differentiating through the sort
+    # would emit a huge scatter in the backward pass (sort VJP), ~10×
+    # the forward cost. The reference itself detaches the Jaccard
+    # weights (lovasz_softmax.py:119 wraps them in Variable), so the
+    # exact gradient is d loss/d err_i = jaccard[rank_i]. We compute the
+    # rank-ordered weights under stop_gradient and UNSORT them with a
+    # second sort keyed by the permutation (sorts are fast on TPU,
+    # scatters are not); the loss is then an elementwise dot.
+    def weights(err):
+        idx = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, P), 1), err.shape)
+        _, fg_sorted, perm = jax.lax.sort((-err, fg, idx), num_keys=1)
+        grad = _lovasz_grad_batched(fg_sorted)
+        _, g_unsorted = jax.lax.sort((perm, grad), num_keys=1)
+        return g_unsorted
+
+    g = jax.lax.stop_gradient(weights(err))
+    per_class = (err * g).sum(axis=1)
 
     present = (fg.sum(axis=1) > 0).astype(jnp.float32)
     return (per_class * present).sum() / jnp.maximum(present.sum(), 1.0)

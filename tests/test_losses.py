@@ -229,3 +229,37 @@ def test_smoothness_loss_matches_torch():
     t = rng.normal(size=(2, 9, 9, 3)).astype(np.float32)
     gl = float(grad_guide_loss(jnp.asarray(x), jnp.asarray(t)))
     assert np.isfinite(gl)
+
+
+def test_lovasz_gradient_matches_reference_semantics():
+    """Our stop-gradient construction must equal the reference autograd:
+    d loss/d p_c[i] = -sign(fg - p) * jaccard[rank] (Jaccard weights
+    detached, lovasz_softmax.py:119)."""
+    rng = np.random.default_rng(12)
+    C, P = 5, 60
+    logits = rng.normal(size=(P, C))
+    probs = (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)).astype(np.float32)
+    labels = rng.integers(0, C, size=P)
+
+    g = jax.grad(lambda p: lovasz_softmax_loss(p, jnp.asarray(labels),
+                                               ignore=0))(jnp.asarray(probs))
+    g = np.asarray(g)
+
+    # independent numpy gradient with detached jaccard
+    keep = labels != 0
+    present = []
+    grad_np = np.zeros_like(probs, dtype=np.float64)
+    for c in range(C):
+        fg = ((labels == c) & keep).astype(np.float64)
+        if fg.sum() == 0:
+            continue
+        present.append(c)
+        err = np.abs(fg - probs[:, c]) * keep
+        order = np.argsort(-err, kind="stable")
+        jac = _np_lovasz_grad(fg[order])
+        w = np.empty(P)
+        w[order] = jac
+        # d err/d p = -sign(fg - p), masked
+        grad_np[:, c] = -np.sign(fg - probs[:, c]) * keep * w
+    grad_np /= len(present)
+    np.testing.assert_allclose(g, grad_np, rtol=1e-3, atol=1e-5)
