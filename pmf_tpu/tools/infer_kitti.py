@@ -34,7 +34,8 @@ from ..models import EPMFNet, PMFNet
 from ..ops import knn_postprocess
 from ..train import Recorder
 from ..train.checkpoint import CheckpointManager
-from ..utils.tables import format_table, latex_row, per_class_report
+from ..utils.tables import (format_table, latex_row, matrix_report,
+    per_class_report)
 
 
 def build_model(opts):
@@ -187,7 +188,15 @@ class Inference:
                                      rec, ev.include) +
                     f"\nmIoU {miou * 100:.2f}  mAcc {macc * 100:.2f}  "
                     f"mRecall {mrec * 100:.2f}  fwIoU {fwiou * 100:.2f}\n"
-                    f"LaTeX: {latex_row(iou, ev.include)}")
+                    f"LaTeX: {latex_row(iou, ev.include)}\n"
+                    "confusion (counts):\n" +
+                    matrix_report(ev.conf, self.dataset.mapped_cls_name) +
+                    "\nacc matrix (row-normalized):\n" +
+                    matrix_report(ev.conf, self.dataset.mapped_cls_name,
+                                  "acc") +
+                    "\nrecall matrix (col-normalized):\n" +
+                    matrix_report(ev.conf, self.dataset.mapped_cls_name,
+                                  "recall"))
         out["ms_per_scan"] = t_total / max(n, 1) * 1000
         if self.recorder:
             self.recorder.logger.info(

@@ -37,3 +37,24 @@ def latex_row(iou, include) -> str:
     vals = [iou[i] * 100 for i in include]
     mean = sum(vals) / max(len(vals), 1)
     return " & ".join([f"{mean:.1f}"] + [f"{v:.1f}" for v in vals]) + r" \\"
+
+
+def matrix_report(conf, class_names: dict, normalize: str | None = None) -> str:
+    """Render the confusion matrix (rows=pred, cols=gt), optionally
+    row-normalized ('acc', precision) or col-normalized ('recall') —
+    the matrix panels of tasks/pmf_eval_semantickitti/infer.py:220-304."""
+    import numpy as np
+
+    conf = np.asarray(conf, dtype=np.float64)
+    if normalize == "acc":
+        conf = conf / np.maximum(conf.sum(axis=1, keepdims=True), 1e-15)
+    elif normalize == "recall":
+        conf = conf / np.maximum(conf.sum(axis=0, keepdims=True), 1e-15)
+    n = conf.shape[0]
+    headers = ["pred\\gt"] + [str(i) for i in range(n)]
+    rows = []
+    for i in range(n):
+        name = class_names.get(i, str(i))
+        fmt = (lambda v: f"{v:.2f}") if normalize else (lambda v: f"{int(v)}")
+        rows.append([f"{i}:{name[:12]}"] + [fmt(v) for v in conf[i]])
+    return format_table(headers, rows)
