@@ -100,6 +100,32 @@ def nuscenes_v2_sample_reader(dataset, cfg) -> Callable[[int], dict]:
     return read
 
 
+def a2d2_sample_reader(dataset, cfg) -> Callable[[int], dict]:
+    """A2D2 reader for the V2 pipeline: precomputed point→pixel indices
+    ride along instead of a projection matrix (tasks/epmf/trainer.py:168-
+    190 trains EPMF on A2D2 through PerspectiveViewLoaderV2, whose
+    mapLidar2CameraCropYaw for A2D2 returns the stored row/col)."""
+
+    def read(index: int) -> dict:
+        pcd, sem, _ = dataset.loadDataByIndex(index)
+        rows, cols = dataset.pixel_indices(index)
+        points, labels, valid = pad_points(pcd, sem, cfg.n_points)
+        rp = np.zeros((cfg.n_points,), np.int32)
+        cp = np.zeros((cfg.n_points,), np.int32)
+        m = min(len(rows), cfg.n_points)
+        rp[:m] = rows[:m]
+        cp[:m] = cols[:m]
+        img = dataset.loadImage(index).astype(np.float32) / 255.0
+        image, img_h, img_w = pad_image(img, cfg.canvas_h, cfg.canvas_w)
+        return {
+            "points": points, "labels": labels, "valid": valid,
+            "rows": rp, "cols": cp, "image": image,
+            "img_h": img_h, "img_w": img_w, "index": np.int32(index),
+        }
+
+    return read
+
+
 def sensat_sample_reader(dataset, cfg, frame_weights=None,
                          train: bool = True) -> Callable[[int], dict]:
     """SensatUrban reader: train mode cuts a random (2h, 2w) window from

@@ -74,13 +74,18 @@ def _bbox(vals, keep, fallback=0):
 
 def build_v2_sample(key, points, labels, valid, proj_matrix, image,
                     img_h, img_w, cfg: V2Config, train: bool,
-                    fov=None):
+                    fov=None, pix=None):
     """One scan → (feature [H,W,8] normalized, mask, label2d, per-point
     (rows, cols, keep) in the output frame, depth).
 
     `fov`: optional traced (fov_left, fov_right) radians pair overriding
     the static config (NuscenesV2 per-camera FOV table,
     dataset_nuscenes_v2.py:137-144).
+
+    `pix`: optional precomputed per-point (rows, cols) pixel coordinates
+    — the A2D2 path, where the adapter ships point→pixel indices and no
+    projection happens (dataset_a2d2.py:271-278: mapLidar2CameraCropYaw
+    returns the stored row/col with keep=all).
     """
     out_h, out_w = (cfg.proj_ht, cfg.proj_wt) if train else (cfg.proj_h, cfg.proj_w)
     k_aug, k_scale, k_flip, k_rot, k_top, k_left = jax.random.split(key, 6)
@@ -90,7 +95,11 @@ def build_v2_sample(key, points, labels, valid, proj_matrix, image,
 
     fov_l = cfg.fov_left if fov is None else fov[0]
     fov_r = cfg.fov_right if fov is None else fov[1]
-    if cfg.cam_frame:
+    if pix is not None:
+        rows_f = pix[0].astype(jnp.float32)
+        cols_f = pix[1].astype(jnp.float32)
+        keep = valid
+    elif cfg.cam_frame:
         # camera-frame crop: yaw about (z, x), depth test on z (v2 ref)
         xyz = points[:, :3]
         keep = (xyz[:, 2] > cfg.min_depth_cam) & valid
@@ -219,6 +228,23 @@ def build_v2_batch(key, points, labels, valid, proj_matrix, images,
 
     return jax.vmap(one)(keys, points, labels, valid, proj_matrix, images,
                          img_h, img_w, fovs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "train"))
+def build_v2_batch_pix(key, points, labels, valid, rows, cols, images,
+                       img_h, img_w, cfg: V2Config, train: bool):
+    """Batched V2 preprocessing over precomputed pixel indices (A2D2)."""
+    B = points.shape[0]
+    keys = jax.random.split(key, B)
+    dummy_P = jnp.zeros((B, 3, 4), jnp.float32)
+
+    def one(k, pts, lab, val, P, img, ih, iw, r, c):
+        f, m, l, *_ = build_v2_sample(k, pts, lab, val, P, img, ih, iw,
+                                      cfg, train, pix=(r, c))
+        return f, m, l
+
+    return jax.vmap(one)(keys, points, labels, valid, dummy_P, images,
+                         img_h, img_w, rows, cols)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -140,10 +140,36 @@ class Trainer:
             self.alpha[0] = 0.0
             self.ignore_class = [0]
             self.mapped_cls_name = trainset.mapped_cls_name
+        elif opts.dataset in ("a2d2", "A2D2"):
+            import os
+
+            from ..data.a2d2 import A2D2_PV
+
+            cams = opts.config.get(
+                "cams_lidars_json", os.path.join(opts.data_root,
+                                                 "cams_lidars.json"))
+            cidx = opts.config.get(
+                "class_index_json", os.path.join(opts.data_root,
+                                                 "class_index.json"))
+            excl = bool(opts.config.get("apply_excludes", True))
+            trainset = A2D2_PV(opts.data_root, cams, cidx, split="train",
+                               apply_excludes=excl)
+            valset = A2D2_PV(opts.data_root, cams, cidx, split="valid",
+                             apply_excludes=excl)
+            if len(valset) == 0:
+                # tiny debug fixtures fall below the fixed 22407-file
+                # split boundary (dataset_a2d2.py split slices)
+                valset = trainset
+            # alpha from config cls_freq (tasks/epmf/trainer.py:123-125,
+            # 171-190: a2d2 uses the yaml count table)
+            self.alpha = config_focal_alpha(opts.config["cls_freq"])
+            self.ignore_class = [0]
+            self.mapped_cls_name = trainset.mapped_cls_name
         else:
             raise ValueError(f"dataset not wired into Trainer yet: {opts.dataset}")
 
         self.use_v2 = opts.net_type == "EPMFNet"
+        self.use_pix = opts.dataset in ("a2d2", "A2D2")
         self.is_sensat = opts.dataset == "SensatUrban"
         if self.is_sensat:
             self.sensat_cfg = SensatConfig(
@@ -165,9 +191,11 @@ class Trainer:
             self._sensat_train_len = len(weights)
         elif self.use_v2:
             pv = opts.group("PVconfig") or sensor
+            # A2D2 front-center camera frames are 1208x1920
+            ch, cw = (1208, 1920) if self.use_pix else (900, 1600)
             self.v2_cfg = V2Config(
-                canvas_h=int(pv.get("canvas_h", 900)),
-                canvas_w=int(pv.get("canvas_w", 1600)),
+                canvas_h=int(pv.get("canvas_h", ch)),
+                canvas_w=int(pv.get("canvas_w", cw)),
                 proj_h=int(pv.get("proj_h", 320)),
                 proj_w=int(pv.get("proj_w", 1280)),
                 proj_ht=int(pv.get("proj_ht", 320)),
@@ -177,7 +205,12 @@ class Trainer:
                 img_stds=tuple(pv.get("pcd_stds", V2Config.img_stds)),
                 pcd_aug=bool(pv.get("pcd_aug", False)),
                 augment=aug)
-            if opts.dataset == "SemanticKitti":
+            if self.use_pix:
+                from ..data.loader import a2d2_sample_reader
+
+                train_reader = a2d2_sample_reader(trainset, self.v2_cfg)
+                val_reader = a2d2_sample_reader(valset, self.v2_cfg)
+            elif opts.dataset == "SemanticKitti":
                 train_reader = kitti_sample_reader(trainset, self.v2_cfg)
                 val_reader = kitti_sample_reader(valset, self.v2_cfg)
             else:
@@ -329,6 +362,13 @@ class Trainer:
             cfg = self.sensat_cfg if train else self.sensat_eval_cfg
             f, l = build_sensat_batch(key, sharded["feature_map"],
                                       sharded["label_map"], cfg, train)
+        elif self.use_v2 and self.use_pix:
+            from ..data.perspective_pipeline_v2 import build_v2_batch_pix
+
+            f, m, l = build_v2_batch_pix(
+                key, sharded["points"], sharded["labels"], sharded["valid"],
+                sharded["rows"], sharded["cols"], sharded["image"],
+                sharded["img_h"], sharded["img_w"], self.v2_cfg, train)
         elif self.use_v2:
             f, m, l = build_v2_batch(
                 key, sharded["points"], sharded["labels"], sharded["valid"],

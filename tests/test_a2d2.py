@@ -142,3 +142,43 @@ def test_a2d2_inference_task(a2d2_root, tmp_path):
     assert all(f.endswith(".label") and "pred" in f for f in files)
     pred = np.fromfile(os.path.join(preds, files[0]), np.int32)
     assert pred.shape[0] == 200
+
+
+def test_a2d2_epmf_train_task(a2d2_root, tmp_path):
+    """EPMF debug training on synthetic A2D2 through the precomputed-pixel
+    V2 pipeline (parity: tasks/epmf/trainer.py:168-190)."""
+    import yaml
+
+    cfg = {
+        "save_path": str(tmp_path / "exp"), "seed": 1, "n_epochs": 1,
+        "batch_size": [2, 1], "lr": 0.001, "warmup_epochs": 1,
+        "momentum": 0.9, "weight_decay": 1e-5, "val_frequency": 1,
+        "dataset": "a2d2", "nclasses": 39, "data_root": a2d2_root,
+        "cams_lidars_json": os.path.join(a2d2_root, "cams_lidars.json"),
+        "class_index_json": os.path.join(a2d2_root, "class_index.json"),
+        "apply_excludes": False,
+        "net_type": "EPMFNet", "base_channels": 8, "img_backbone": "resnet34",
+        "lambda": 1.0, "gamma": 0.5, "tau": 0.7, "is_debug": True,
+        "n_threads": 2, "experiment_id": "epmf-a2d2", "use_mtloss": True,
+        "mesh_data": 1, "mesh_model": 1,
+        "cls_freq": [0] + [1000] * 38,
+        "PVconfig": {
+            "canvas_h": 96, "canvas_w": 128,
+            "proj_h": 64, "proj_w": 128, "proj_ht": 64, "proj_wt": 128,
+            "n_points": 512,
+            "pcd_mean": [17.95, 16.17, -0.17, 1.23, 18.49],
+            "pcd_stds": [24.0, 23.55, 8.06, 3.96, 21.45]},
+        "augmentation": {},
+    }
+    cfg_path = str(tmp_path / "epmf_a2d2.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from pmf_tpu.config import load_options
+    from pmf_tpu.tools.train import Experiment
+
+    opts = load_options(cfg_path)
+    exp = Experiment(opts)
+    assert exp.trainer.use_pix
+    best = exp.run()
+    assert np.isfinite(best["IOU"])
