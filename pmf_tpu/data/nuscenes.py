@@ -65,6 +65,16 @@ SEG_CLASS_TO_INDEX = {
     "vegetation": 16,
 }
 
+# Official devkit mini split (nuscenes/utils/splits.py: mini_train /
+# mini_val) — embedded so v1.0-mini debug runs need no external file.
+# The 700/150-scene trainval lists are NOT embedded: they are curated
+# constants we cannot re-derive offline without risking silent
+# corruption; generate them from any devkit install with
+# scripts/make_nusc_splits.py and pass `nusc_splits_file`.
+MINI_TRAIN = ["scene-0061", "scene-0553", "scene-0655", "scene-0757",
+              "scene-0796", "scene-1077", "scene-1094", "scene-1100"]
+MINI_VAL = ["scene-0103", "scene-0916"]
+
 CAMERAS = ["CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_BACK_RIGHT", "CAM_BACK",
            "CAM_BACK_LEFT", "CAM_FRONT_LEFT"]
 
@@ -174,10 +184,17 @@ class Nuscenes:
                 GENERAL_TO_SEG_CLASS[name]]
         self.mapped_cls_name = {v: k for k, v in SEG_CLASS_TO_INDEX.items()}
 
+        scene_by_name = {s["name"]: s["token"] for s in self.nusc.scene}
         if splits_file:
             with open(splits_file) as f:
                 train_scene_names = json.load(f)["train"]
-        scene_by_name = {s["name"]: s["token"] for s in self.nusc.scene}
+        elif train_scene_names is None and version == "v1.0-mini":
+            # official devkit mini split (nuscenes/utils/splits.py) —
+            # embedded so debug runs need no external file; applied only
+            # when the DB actually contains those scenes (synthetic test
+            # fixtures use other names and keep the all-train default)
+            present = [n for n in MINI_TRAIN if n in scene_by_name]
+            train_scene_names = present or None
         if train_scene_names is None:
             train_tokens = set(scene_by_name.values())
         else:
@@ -302,12 +319,15 @@ class NuscenesV2(Nuscenes):
                          splits_file=splits_file)
         if has_image:
             # rebuild the token list scene-ordered with cam channels
+            scene_by_name = {s["name"]: s["token"] for s in self.nusc.scene}
             if splits_file:
                 import json as _json
 
                 with open(splits_file) as f:
                     train_scene_names = _json.load(f)["train"]
-            scene_by_name = {s["name"]: s["token"] for s in self.nusc.scene}
+            elif train_scene_names is None and version == "v1.0-mini":
+                present = [n for n in MINI_TRAIN if n in scene_by_name]
+                train_scene_names = present or None
             if train_scene_names is None:
                 train_tokens = set(scene_by_name.values())
             else:
