@@ -39,6 +39,7 @@ class _PackedConvInner(nn.Module):
     dilation: int
     use_bias: bool
     dtype: jnp.dtype
+    segments: tuple | None = None
 
     @nn.compact
     def __call__(self, xp):
@@ -48,7 +49,8 @@ class _PackedConvInner(nn.Module):
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (*self.kernel, ci, self.features), jnp.float32)
         y = packed_conv(xp.astype(self.dtype), k.astype(self.dtype),
-                        dil=self.dilation, padding=self.padding)
+                        dil=self.dilation, padding=self.padding,
+                        in_segments=self.segments)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)
@@ -71,6 +73,8 @@ class Conv(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     packed: bool = False
+    packed_segments: tuple | None = None  # input packed-channel layout
+                                          # (see ops.packed_conv)
 
     @nn.compact
     def __call__(self, x):
@@ -80,7 +84,8 @@ class Conv(nn.Module):
                 else (self.padding, self.padding)
             return _PackedConvInner(self.features, self.kernel, pad,
                                     self.dilation, self.use_bias,
-                                    self.dtype, name="Conv_0")(x)
+                                    self.dtype, self.packed_segments,
+                                    name="Conv_0")(x)
         return nn.Conv(self.features, self.kernel,
                        strides=(self.stride, self.stride),
                        padding=_pad2(self.padding),
@@ -109,19 +114,61 @@ class BatchNorm(nn.Module):
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
         if self.packed:
-            # statistics must pool the 4 spatial phases together to match
-            # full-res per-channel BN exactly
-            N, Hp, Wp, Crr = x.shape
-            x5 = x.reshape(N, Hp, Wp, 4, Crr // 4)
-            y = nn.BatchNorm(use_running_average=ura, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             param_dtype=jnp.float32)(x5)
-            return y.reshape(N, Hp, Wp, Crr)
+            # statistics pool the 4 spatial phases to match full-res
+            # per-channel BN exactly. The DATA stays 4D: only the [4C]
+            # reduced moments are reshaped, and the affine runs as one
+            # fused multiply-add with phase-tiled coefficients — the 5D
+            # round trip this replaces cost a layout copy of the whole
+            # tensor on TPU at every BN call.
+            return _PackedBatchNorm(dtype=self.dtype, name="BatchNorm_0")(
+                x, ura)
         # flax computes mean/var in f32 internally for half dtypes; the
         # activation stays in self.dtype (no cast round trips)
         return nn.BatchNorm(use_running_average=ura, momentum=0.9,
                             epsilon=1e-5, dtype=self.dtype,
                             param_dtype=jnp.float32)(x)
+
+
+class _PackedBatchNorm(nn.Module):
+    """BatchNorm over a space-to-depth tensor [N, Hp, Wp, 4C] with
+    phase-pooled statistics — numerically the full-resolution per-channel
+    BN (torch hyperparameters: eps 1e-5, running momentum 0.1).
+
+    Parameter/stat shapes are [C], identical to the unpacked
+    nn.BatchNorm, so checkpoints stay interchangeable between modes.
+    """
+    dtype: jnp.dtype = jnp.float32
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        C = x.shape[-1] // 4
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            # per-packed-channel first/second moments [4C], then pool the
+            # 4 phases — only these tiny vectors get reshaped
+            m1 = xf.mean(axis=(0, 1, 2))
+            m2 = (xf * xf).mean(axis=(0, 1, 2))
+            mean = m1.reshape(4, C).mean(0)
+            var = m2.reshape(4, C).mean(0) - mean * mean
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        a = jnp.tile(inv, 4).astype(self.dtype)
+        b = jnp.tile(bias - mean * inv, 4).astype(self.dtype)
+        return x.astype(self.dtype) * a + b
 
 
 class Dropout2d(nn.Module):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.packed_conv import depth_to_space, space_to_depth
-from ..ops.resize import upsample_bilinear
+from ..ops.resize import upsample_bilinear, upsample_bilinear_x2_packed
 from .layers import BatchNorm, Conv, leaky_relu
 from .resnet import ResNetEncoder
 from .salsanext import ResBlock, ResContextBlock, UpBlock
@@ -144,29 +144,43 @@ class SalsaNextFusion(nn.Module):
 
 
 class RGBDecoder(nn.Module):
-    """Camera-stream FCN decoder. Parity: pmf_net.py:183-222."""
+    """Camera-stream FCN decoder. Parity: pmf_net.py:183-222.
+
+    use_packed: the final ×2 upsample + 3×3 logits conv run in the
+    space-to-depth domain (exact; the bilinear blend becomes four
+    half-res fused multiply-adds instead of a full-res resize, and the
+    20-channel full-res conv becomes an 80-channel half-res one).
+    """
     nclasses: int = 20
     base_channels: int = 64
     dtype: jnp.dtype = jnp.float32
+    use_packed: bool = False
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         dt = self.dtype
 
-        def up_stage(x, name, kernel=(3, 3), padding=1):
+        def up_stage(x, name, kernel=(3, 3), padding=1, upsample=True):
             x = Conv(self.base_channels, kernel, padding=padding, dtype=dt,
                      name=f"{name}_conv")(x)
             x = leaky_relu(x)
             x = BatchNorm(dtype=dt, name=f"{name}_bn")(x, use_running_average=not train)
-            return upsample_bilinear(x, 2)
+            return upsample_bilinear(x, 2) if upsample else x
 
         up4 = up_stage(inputs[3], "up_4a")
         up3 = up_stage(jnp.concatenate([up4, inputs[2]], -1), "up_3a")
         up2 = up_stage(jnp.concatenate([up3, inputs[1]], -1), "up_2a")
-        up1 = up_stage(jnp.concatenate([up2, inputs[0]], -1), "up_1a",
-                       kernel=(1, 1), padding=0)
-        out = Conv(self.nclasses, (3, 3), padding=1, dtype=dt,
-                   name="conv")(up1).astype(jnp.float32)
+        up1h = up_stage(jnp.concatenate([up2, inputs[0]], -1), "up_1a",
+                        kernel=(1, 1), padding=0,
+                        upsample=not self.use_packed)
+        if self.use_packed:
+            up1p = upsample_bilinear_x2_packed(up1h)
+            out = Conv(self.nclasses, (3, 3), padding=1, dtype=dt,
+                       packed=True, name="conv")(up1p)
+            out = depth_to_space(out).astype(jnp.float32)
+        else:
+            out = Conv(self.nclasses, (3, 3), padding=1, dtype=dt,
+                       name="conv")(up1h).astype(jnp.float32)
         return jax.nn.softmax(out, axis=-1)
 
 
@@ -189,7 +203,7 @@ class PMFNet(nn.Module):
         self.camera_stream_decoder = RGBDecoder(
             nclasses=self.nclasses,
             base_channels=self.camera_stream_encoder.expansion * 16,
-            dtype=self.dtype)
+            dtype=self.dtype, use_packed=self.use_packed)
         self.lidar_stream = SalsaNextFusion(
             nclasses=self.nclasses, base_channels=self.base_channels,
             dropout_rate=self.dropout_rate, dtype=self.dtype,

@@ -14,9 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.packed_conv import (packed_avg_pool_3x3_s2, packed_concat,
-                                pixel_shuffle_to_packed, space_to_depth,
-                                depth_to_space)
+from ..ops.packed_conv import packed_avg_pool_3x3_s2
 from ..ops.resize import pixel_shuffle
 from .layers import BatchNorm, Conv, Dropout2d, avg_pool_3x3_s2, leaky_relu
 
@@ -62,7 +60,6 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         dt, pk = self.dtype, self.packed
-        cat = packed_concat if pk else (lambda ts: jnp.concatenate(ts, -1))
         shortcut = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
                                    name="conv1")(x))
         resA = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
@@ -77,9 +74,12 @@ class ResBlock(nn.Module):
                                dtype=dt, packed=pk, name="conv4")(resA2))
         resA3 = BatchNorm(dtype=dt, packed=pk, name="bn3")(
             resA, use_running_average=not train)
-        concat = cat([resA1, resA2, resA3])
+        # packed mode: plain channel concat; conv5 absorbs the resulting
+        # three-phase-block layout into its packed kernel (zero reorder)
+        concat = jnp.concatenate([resA1, resA2, resA3], -1)
+        segs = (("p", self.features),) * 3 if pk else None
         resA = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
-                               name="conv5")(concat))
+                               packed_segments=segs, name="conv5")(concat))
         resA = BatchNorm(dtype=dt, packed=pk, name="bn4")(
             resA, use_running_average=not train)
         resA = shortcut + resA
@@ -113,8 +113,11 @@ class UpBlock(nn.Module):
         if pk:
             assert not self.drop_out, \
                 "dropout inside packed blocks is not supported"
-            upA = pixel_shuffle_to_packed(x)   # reshape-only upsample
-            upB = packed_concat([upA, skip])
+            # x (unpacked half-res, PixelShuffle-bound) IS the packed
+            # full-res upsample viewed channel-major — no data movement;
+            # conv1's packed kernel absorbs both layouts
+            upB = jnp.concatenate([x.astype(dt), skip], axis=-1)
+            segs1 = (("c", x.shape[-1] // 4), ("p", skip.shape[-1] // 4))
         else:
             upA = pixel_shuffle(x, 2)
             if self.drop_out:
@@ -122,10 +125,11 @@ class UpBlock(nn.Module):
             upB = jnp.concatenate([upA, skip], axis=-1)
             if self.drop_out:
                 upB = Dropout2d(self.dropout_rate, name="dropout2")(upB, deterministic=det)
-        cat = packed_concat if pk else (lambda ts: jnp.concatenate(ts, -1))
+            segs1 = None
 
         upE = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
-                              packed=pk, name="conv1")(upB))
+                              packed=pk, packed_segments=segs1,
+                              name="conv1")(upB))
         upE1 = BatchNorm(dtype=dt, packed=pk, name="bn1")(
             upE, use_running_average=not train)
         upE = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
@@ -136,9 +140,10 @@ class UpBlock(nn.Module):
                               dtype=dt, packed=pk, name="conv3")(upE2))
         upE3 = BatchNorm(dtype=dt, packed=pk, name="bn3")(
             upE, use_running_average=not train)
-        concat = cat([upE1, upE2, upE3])
+        concat = jnp.concatenate([upE1, upE2, upE3], -1)
+        segs4 = (("p", self.features),) * 3 if pk else None
         upE = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
-                              name="conv4")(concat))
+                              packed_segments=segs4, name="conv4")(concat))
         upE = BatchNorm(dtype=dt, packed=pk, name="bn4")(
             upE, use_running_average=not train)
         if self.drop_out and not pk:

@@ -79,19 +79,43 @@ def _pack_plan(kh: int, kw: int, dil: int, pad_h: int, pad_w: int):
 
 
 def pack_conv_weights(w: jax.Array, dil: int = 1,
-                      padding: tuple[int, int] = (1, 1)) -> tuple:
+                      padding: tuple[int, int] = (1, 1),
+                      in_segments: tuple | None = None) -> tuple:
     """Build the packed kernel [khp, kwp, 4ci, 4co] from [kh, kw, ci, co].
+
+    `in_segments` describes the packed-channel layout of the INPUT as a
+    tuple of (kind, channels) segments laid out back to back, where kind
+    "p" is phase-major (packed channel = phase·C + c, the space_to_depth
+    convention) and kind "c" is channel-major (packed channel = c·4 +
+    phase, the raw conv-output-feeding-PixelShuffle convention). This
+    lets callers feed plain jnp.concatenate results — or pixel-shuffle
+    inputs with NO data movement at all — because any input channel
+    permutation is absorbed into this compile-side weight scatter.
 
     Returns (w_packed, ((pad_top, pad_bottom), (pad_left, pad_right))).
     """
     kh, kw, ci, co = w.shape
+    if in_segments is None:
+        in_segments = (("p", ci),)
+    assert sum(c for _, c in in_segments) == ci, (in_segments, ci)
     khp, kwp, pad_hp, pad_wp, entries = _pack_plan(kh, kw, dil,
                                                    padding[0], padding[1])
     wp = jnp.zeros((khp, kwp, 4 * ci, 4 * co), w.dtype)
     for kyp, kxp, (qy, qx), (py, px), dy, dx in entries:
-        qi = (qy * 2 + qx) * ci
+        qi = qy * 2 + qx
         qo = (py * 2 + px) * co
-        wp = wp.at[kyp, kxp, qi:qi + ci, qo:qo + co].set(w[dy, dx])
+        c0 = 0     # full-res input channel cursor
+        base = 0   # packed input channel cursor
+        for kind, cs in in_segments:
+            wsub = w[dy, dx, c0:c0 + cs]
+            if kind == "p":
+                wp = wp.at[kyp, kxp, base + qi * cs:base + (qi + 1) * cs,
+                           qo:qo + co].set(wsub)
+            else:
+                wp = wp.at[kyp, kxp, base + qi:base + 4 * cs:4,
+                           qo:qo + co].set(wsub)
+            c0 += cs
+            base += 4 * cs
     # packed SAME-equivalent padding: kernel spans rows [ -pad_hp,
     # khp-1-pad_hp ] around each output position
     pads = ((pad_hp, khp - 1 - pad_hp), (pad_wp, kwp - 1 - pad_wp))
@@ -100,17 +124,18 @@ def pack_conv_weights(w: jax.Array, dil: int = 1,
 
 def packed_conv(xp: jax.Array, w: jax.Array, dil: int = 1,
                 padding: tuple[int, int] | None = None,
-                precision=None) -> jax.Array:
+                precision=None, in_segments: tuple | None = None) -> jax.Array:
     """Stride-1 conv on a space-to-depth tensor, exact vs. the full-res op.
 
     xp: [N, H/2, W/2, 4·ci]; w: ORIGINAL full-res kernel [kh, kw, ci, co]
     with torch-style integer `padding` (default (k-1)·dil/2 'same').
-    Returns [N, H/2, W/2, 4·co].
+    `in_segments`: packed-channel layout of xp (see pack_conv_weights).
+    Returns [N, H/2, W/2, 4·co] phase-major.
     """
     kh, kw, ci, co = w.shape
     if padding is None:
         padding = (((kh - 1) * dil) // 2, ((kw - 1) * dil) // 2)
-    wp, pads = pack_conv_weights(w, dil, padding)
+    wp, pads = pack_conv_weights(w, dil, padding, in_segments)
     return jax.lax.conv_general_dilated(
         xp, wp, (1, 1), pads,
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)

@@ -22,6 +22,30 @@ def upsample_bilinear(x: jax.Array, scale: int = 2,
     return jax.image.resize(x, (N, size[0], size[1], C), method="bilinear")
 
 
+def upsample_bilinear_x2_packed(x: jax.Array) -> jax.Array:
+    """Bilinear ×2 upsample emitted directly in the space-to-depth domain:
+    [N, H, W, C] → [N, H, W, 4C] phase-major ≡ s2d(upsample_bilinear(x, 2)).
+
+    With half-pixel centers (align_corners=False), output pixel 2Y+py maps
+    to input coordinate Y + py/2 − 1/4, so each output phase is a fixed
+    (1/4, 3/4) two-tap blend per axis with edge clamping — four shifted
+    fused multiply-adds at HALF resolution instead of a gather-based
+    resize at full resolution.
+    """
+    q, t = jnp.asarray(0.25, x.dtype), jnp.asarray(0.75, x.dtype)
+    up = jnp.pad(x, ((0, 0), (1, 0), (0, 0), (0, 0)), mode="edge")[:, :-1]
+    dn = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0)), mode="edge")[:, 1:]
+    r0 = q * up + t * x        # output row phase 0
+    r1 = t * x + q * dn        # output row phase 1
+    out = []
+    for r in (r0, r1):
+        lf = jnp.pad(r, ((0, 0), (0, 0), (1, 0), (0, 0)), mode="edge")[:, :, :-1]
+        rt = jnp.pad(r, ((0, 0), (0, 0), (0, 1), (0, 0)), mode="edge")[:, :, 1:]
+        out.append(q * lf + t * r)
+        out.append(t * r + q * rt)
+    return jnp.concatenate(out, axis=-1)
+
+
 def pixel_shuffle(x: jax.Array, r: int = 2) -> jax.Array:
     """PixelShuffle on NHWC: [N, H, W, C*r*r] → [N, H*r, W*r, C].
 

@@ -85,8 +85,9 @@ def main():
     dev = lambda *xs: tuple(map(jnp.asarray, xs))
     raw = dev(pts, labels, valid, proj, image, img_h, img_w)
 
+    use_packed = os.environ.get("PROF_UNPACKED", "") != "1"
     model = PMFNet(nclasses=20, base_channels=32, image_backbone="resnet34",
-                   dtype=jnp.bfloat16, use_packed=True)
+                   dtype=jnp.bfloat16, use_packed=use_packed)
     variables = jax.jit(lambda k: model.init(
         {"params": k, "dropout": jax.random.PRNGKey(1)},
         jnp.zeros((1, 64, 80, 5)), jnp.zeros((1, 64, 80, 3)),
