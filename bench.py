@@ -2,9 +2,21 @@
 
 Measures the full per-scan pipeline of the flagship config (PMF-ResNet34,
 384×1232 eval resolution): on-device projection + z-buffer scatter +
-normalization + two-stream forward + argmax, on synthetic scans.
+normalization + two-stream forward + argmax, on synthetic scans, batch 8
+(offline eval batches freely; cf. the reference eval loop
+tasks/pmf_eval_semantickitti/infer.py:87-108 which is per-scan only
+because torch preprocessing is host-bound).
 
-Prints ONE JSON line {metric, value, unit, vs_baseline}.
+Timing methodology (axon relay): `block_until_ready` does not reliably
+block through the relay, so we chain an epsilon of each result into the
+next call INSIDE jit (no eager ops in the loop) and force one real
+np.asarray fetch at the end — device execution is in-order, so the last
+result completing implies all N executed.
+
+Prints ONE JSON line {metric, value, unit, vs_baseline, train_*}: the
+headline metric is eval scans/sec/chip; train-step throughput at the
+training config (256×1024, bs8, fused loss+backward+optimizer+metrics)
+rides along as extra fields.
 
 vs_baseline: the reference publishes no throughput in-repo (BASELINE.md);
 the north-star target is >2× an A100 running the reference at this
@@ -21,11 +33,89 @@ import numpy as np
 A100_EST_SCANS_PER_SEC = 25.0
 TARGET = 2.0 * A100_EST_SCANS_PER_SEC
 
-BATCH = 2
+BATCH = 8
 N_POINTS = 32768  # KITTI-FOV scans carry ~20k points (reference
 # trains/evals on the camera-FOV-distilled dataset, README_en.md)
 H, W = 384, 1232
-N_ITERS = 10
+HT, WT = 256, 1024  # training crop (config_server_kitti.yaml sensor)
+N_ITERS = 15
+N_TRAIN_ITERS = 8
+
+
+def make_inputs(rng, batch):
+    pts = np.zeros((batch, N_POINTS, 4), np.float32)
+    pts[..., 0] = rng.uniform(2, 70, (batch, N_POINTS))
+    pts[..., 1] = rng.uniform(-20, 20, (batch, N_POINTS))
+    pts[..., 2] = rng.uniform(-2, 1, (batch, N_POINTS))
+    pts[..., 3] = rng.uniform(0, 1, (batch, N_POINTS))
+    labels = rng.integers(0, 20, (batch, N_POINTS)).astype(np.int32)
+    valid = np.ones((batch, N_POINTS), bool)
+    fx = 720.0
+    proj = np.tile(np.array(
+        [[fx, -fx, 0, W * fx / 2], [0, 0, -fx, H * fx / 2], [1, 0, 0, 0]],
+        np.float32)[None], (batch, 1, 1))
+    image = rng.random((batch, H, W + 16, 3)).astype(np.float32)
+    img_h = np.full((batch,), H, np.int32)
+    img_w = np.full((batch,), W, np.int32)
+    return pts, labels, valid, proj, image, img_h, img_w
+
+
+def bench_eval(jax, jnp, model, variables, cfg, args):
+    @jax.jit
+    def scan_pipeline(variables, eps, points, labels, valid, proj_matrix,
+                      image, ih, iw):
+        from pmf_tpu.data import build_batch
+
+        f, m, l = build_batch(jax.random.PRNGKey(0), points + eps, labels,
+                              valid, proj_matrix, image, ih, iw, cfg, False)
+        lidar, cam = model.apply(variables, f[..., :5], f[..., 5:8],
+                                 train=False)
+        pred = jnp.argmax(lidar, -1)
+        # epsilon chaining: a scalar wholly dependent on this iteration
+        return pred, (pred[0, 0, 0] * 0).astype(jnp.float32)
+
+    eps = jnp.float32(0.0)
+    out, eps = scan_pipeline(variables, eps, *args)
+    np.asarray(out[0, :2, :2])  # force compile + first execution
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        out, eps = scan_pipeline(variables, eps, *args)
+    np.asarray(eps)
+    dt = (time.perf_counter() - t0) / N_ITERS
+    return BATCH / dt
+
+
+def bench_train(jax, jnp, model, variables, args):
+    from pmf_tpu.data import PVConfig, build_batch
+    from pmf_tpu.train import (LossConfig, TrainState, hybrid_pmf_optimizer,
+                               make_pmf_train_step, warmup_cosine_lr)
+
+    cfg = PVConfig(canvas_h=H, canvas_w=W + 16, proj_h=H, proj_w=W,
+                   proj_ht=HT, proj_wt=WT, h_pad=7, w_pad=3,
+                   n_points=N_POINTS)
+    tx = hybrid_pmf_optimizer(warmup_cosine_lr(1e-3, 100, 10000), 0.9, 1e-5)
+    state = TrainState.create({"params": variables["params"],
+                               "batch_stats": variables["batch_stats"]}, tx)
+    loss_cfg = LossConfig(nclasses=20, alpha=tuple([0.0] + [1.0] * 19))
+    step = make_pmf_train_step(model, tx, loss_cfg)
+
+    @jax.jit
+    def train_iter(state, key, points, labels, valid, proj_matrix, image,
+                   ih, iw):
+        f, m, l = build_batch(key, points, labels, valid, proj_matrix,
+                              image, ih, iw, cfg, True)
+        return step(state, f, l, key)
+
+    key = jax.random.PRNGKey(0)
+    state, aux = train_iter(state, key, *args)
+    np.asarray(aux["loss"])  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(N_TRAIN_ITERS):
+        state, aux = train_iter(state, jax.random.fold_in(key, state.step),
+                                *args)
+    np.asarray(aux["loss"])
+    dt = (time.perf_counter() - t0) / N_TRAIN_ITERS
+    return BATCH / dt
 
 
 def main():
@@ -36,26 +126,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from pmf_tpu.data import PVConfig, build_batch
+    from pmf_tpu.data import PVConfig
     from pmf_tpu.models import PMFNet
 
     cfg = PVConfig(canvas_h=H, canvas_w=W + 16, proj_h=H, proj_w=W,
                    h_pad=7, w_pad=3, n_points=N_POINTS)
     rng = np.random.default_rng(0)
-    pts = np.zeros((BATCH, N_POINTS, 4), np.float32)
-    pts[..., 0] = rng.uniform(2, 70, (BATCH, N_POINTS))
-    pts[..., 1] = rng.uniform(-20, 20, (BATCH, N_POINTS))
-    pts[..., 2] = rng.uniform(-2, 1, (BATCH, N_POINTS))
-    pts[..., 3] = rng.uniform(0, 1, (BATCH, N_POINTS))
-    labels = rng.integers(0, 20, (BATCH, N_POINTS)).astype(np.int32)
-    valid = np.ones((BATCH, N_POINTS), bool)
-    fx = 720.0
-    proj = np.tile(np.array(
-        [[fx, -fx, 0, W * fx / 2], [0, 0, -fx, H * fx / 2], [1, 0, 0, 0]],
-        np.float32)[None], (BATCH, 1, 1))
-    image = rng.random((BATCH, H, W + 16, 3)).astype(np.float32)
-    img_h = np.full((BATCH,), H, np.int32)
-    img_w = np.full((BATCH,), W, np.int32)
+    raw = make_inputs(rng, BATCH)
 
     model = PMFNet(nclasses=20, base_channels=32, image_backbone="resnet34",
                    dtype=jnp.bfloat16, use_packed=True)
@@ -69,33 +146,21 @@ def main():
                           train=False)
 
     variables = init_fn(jax.random.PRNGKey(0))
-
     # variables passed as args (not closure constants) → stable compile
     # cache key across runs
-    @jax.jit
-    def scan_pipeline(variables, points, labels, valid, proj_matrix, image,
-                      ih, iw):
-        f, m, l = build_batch(jax.random.PRNGKey(0), points, labels, valid,
-                              proj_matrix, image, ih, iw, cfg, False)
-        lidar, cam = model.apply(variables, f[..., :5], f[..., 5:8],
-                                 train=False)
-        return jnp.argmax(lidar, -1)
+    args = tuple(map(jnp.asarray, raw))
 
-    args = (variables,) + tuple(map(
-        jnp.asarray, (pts, labels, valid, proj, image, img_h, img_w)))
-    out = jax.block_until_ready(scan_pipeline(*args))  # compile
-    t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        out = scan_pipeline(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / N_ITERS
-    scans_per_sec = BATCH / dt
+    eval_sps = bench_eval(jax, jnp, model, variables, cfg, args)
+    train_sps = bench_train(jax, jnp, model, variables, args)
 
     print(json.dumps({
         "metric": "pmf_r34_kitti_eval_scans_per_sec_per_chip",
-        "value": round(scans_per_sec, 2),
+        "value": round(eval_sps, 2),
         "unit": "scans/sec",
-        "vs_baseline": round(scans_per_sec / TARGET, 3),
+        "vs_baseline": round(eval_sps / TARGET, 3),
+        "train_metric": "pmf_r34_kitti_train_scans_per_sec_per_chip",
+        "train_value": round(train_sps, 2),
+        "train_batch": BATCH,
     }))
 
 

@@ -32,7 +32,9 @@ class Experiment:
         np.random.seed(opts.seed)
         self.recorder = Recorder(
             opts.run_dir, settings_dict={
-                k: v for k, v in vars(opts).items() if k != "config"}
+                k: v for k, v in vars(opts).items() if k != "config"},
+            snapshot_code=True,  # reference always snapshots run code
+                                 # (pc_processor/checkpoint/recorder.py:63-75)
         ) if is_main_process() else None
         self.trainer = Trainer(opts, self.recorder)
         self.start_epoch = 0

@@ -64,6 +64,33 @@ class Recorder:
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     shutil.copy2(src, dst)
 
+    def add_image(self, tag: str, image, step: int):
+        """Log an image panel ([H,W] or [H,W,3] float array; min-max
+        normalized). Always writes a PNG under log/images/ (parity stand-
+        in for tensorboard add_image, tasks/pmf/trainer.py:497-524) and
+        mirrors to tensorboard when available."""
+        if not self.is_main:
+            return
+        import numpy as np
+
+        img = np.asarray(image, np.float32)
+        lo, hi = float(img.min()), float(img.max())
+        if hi > lo:
+            img = (img - lo) / (hi - lo)
+        img8 = (img * 255).astype(np.uint8)
+        d = os.path.join(self.log_dir, "images")
+        os.makedirs(d, exist_ok=True)
+        try:
+            from PIL import Image
+
+            Image.fromarray(img8).save(
+                os.path.join(d, f"{tag}_{step:04d}.png"))
+        except Exception:
+            pass
+        if self.tensorboard is not None:
+            chw = img[None] if img.ndim == 2 else img.transpose(2, 0, 1)
+            self.tensorboard.add_image(tag, chw, step)
+
     def add_scalar(self, tag: str, value, step: int):
         if self._scalar_file is not None:
             self._scalar_file.write(json.dumps(

@@ -349,10 +349,21 @@ class Trainer:
         if self.is_fusion:
             self.train_step = make_pmf_train_step(self.model, self.tx, self.loss_cfg)
             self.eval_step = make_pmf_eval_step(self.model, self.loss_cfg)
+
+            @jax.jit
+            def panel_forward(state, feature):
+                params = {k: v for k, v in state.params.items()
+                          if k != "mt_sigma"}
+                return self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    feature[..., :5], feature[..., 5:8], train=False)
+
+            self._panel_forward = panel_forward
         else:
             self.train_step = make_salsanext_train_step(self.model, self.tx,
                                                         self.loss_cfg)
             self.eval_step = make_salsanext_eval_step(self.model, self.loss_cfg)
+        self._panel_batch = None
 
     # ------------------------------------------------------- preprocess
     def _device_batch(self, batch: dict, train: bool, key):
@@ -394,6 +405,7 @@ class Trainer:
         self.metrics.reset()
         self.metrics_img.reset()
         loss_meter = AverageMeter()
+        aux_meters: dict[str, AverageMeter] = {}
         total_iter = len(loader)
         t_start = time.time()
 
@@ -412,9 +424,14 @@ class Trainer:
 
             loss = float(aux["loss"])
             loss_meter.update(loss, feature.shape[0])
+            for k, v in aux.items():
+                if k not in ("loss", "conf", "conf_cam"):
+                    aux_meters.setdefault(k, AverageMeter()).update(
+                        float(v), feature.shape[0])
             self.metrics.addBatchConf(np.asarray(aux["conf"]))
             if "conf_cam" in aux:
                 self.metrics_img.addBatchConf(np.asarray(aux["conf_cam"]))
+            self._panel_batch = (feature, label)
 
             data_t = t_proc - t_start
             proc_t = time.time() - t_proc
@@ -425,28 +442,130 @@ class Trainer:
                     i % 10 == 0 or i == total_iter - 1):
                 miou, _ = self.metrics.getIoU()
                 macc, _ = self.metrics.getAcc()
+                mrec, _ = self.metrics.getRecall()
                 lr = float(self.lr_schedule(self.state.step))
                 rt = datetime.timedelta(seconds=int(
                     self.remain_time.getRemainTime(epoch, i, total_iter, mode)))
-                self.recorder.logger.info(
+                line = (
                     f">>> {mode} E[{self.opts.n_epochs:03d}|{epoch + 1:03d}] "
                     f"I[{total_iter:04d}|{i + 1:04d}] DT[{data_t:.3f}] "
                     f"PT[{proc_t:.3f}] LR {lr:.5f} Loss {loss:.4f} "
-                    f"Acc {macc:.4f} IOU {miou:.4f} RT {rt}")
+                    f"Acc {macc:.4f} IOU {miou:.4f} Recall {mrec:.4f}")
+                if "entropy" in aux_meters:
+                    line += f" Entropy {aux_meters['entropy'].avg:.4f}"
+                if "conf_cam" in aux:  # parity: trainer.py:426-431
+                    iiou, _ = self.metrics_img.getIoU()
+                    iacc, _ = self.metrics_img.getAcc()
+                    irec, _ = self.metrics_img.getRecall()
+                    line += (f" ImgAcc {iacc:.4f} ImgIOU {iiou:.4f} "
+                             f"ImgRecall {irec:.4f}")
+                    if "entropy_cam" in aux_meters:
+                        line += f" ImgEntropy {aux_meters['entropy_cam'].avg:.4f}"
+                self.recorder.logger.info(line + f" RT {rt}")
             if profile_dir and train and epoch == 0 and i == 4:
                 jax.profiler.stop_trace()
                 profile_dir = None
             if self.opts.is_debug:
                 break
 
-        miou, _ = self.metrics.getIoU()
-        macc, _ = self.metrics.getAcc()
-        mrecall, _ = self.metrics.getRecall()
+        miou, class_iou = self.metrics.getIoU()
+        macc, class_acc = self.metrics.getAcc()
+        mrecall, class_recall = self.metrics.getRecall()
         if self.recorder is not None:
+            # scalar parity: tasks/pmf/trainer.py:440-494
+            lr = float(self.lr_schedule(self.state.step))
             for tag, v in [("Loss", loss_meter.avg), ("meanAcc", macc),
-                           ("meanIOU", miou), ("meanRecall", mrecall)]:
+                           ("meanIOU", miou), ("meanRecall", mrecall),
+                           ("lr", lr)]:
                 self.recorder.add_scalar(f"{mode}_{tag}", v, epoch)
+            scalar_tags = {
+                "loss_focal": "LossFocal", "loss_lovasz": "LossLovasz",
+                "loss_focal_cam": "LossImageFocal",
+                "loss_lovasz_cam": "LossImageLovasz",
+                "loss_perception": "LossPerception",
+                "entropy": "entropy", "entropy_cam": "ImageEntropy",
+            }
+            for k, m in aux_meters.items():
+                self.recorder.add_scalar(
+                    f"{mode}_{scalar_tags.get(k, k)}", m.avg, epoch)
+            for c, name in self.mapped_cls_name.items():
+                c = int(c)
+                if c >= len(class_iou):
+                    continue
+                for metric, vals in [("Acc", class_acc),
+                                     ("Recall", class_recall),
+                                     ("IOU", class_iou)]:
+                    self.recorder.add_scalar(
+                        f"{mode}_{c:02d}_{name}_{metric}",
+                        float(vals[c]), epoch)
+            if self.is_fusion:
+                imiou, ciou = self.metrics_img.getIoU()
+                imacc, cacc = self.metrics_img.getAcc()
+                imrec, crec = self.metrics_img.getRecall()
+                for tag, v in [("Image_meanAcc", imacc),
+                               ("Image_meanIOU", imiou),
+                               ("Image_meanRecall", imrec)]:
+                    self.recorder.add_scalar(f"{mode}_{tag}", v, epoch)
+                for c, name in self.mapped_cls_name.items():
+                    c = int(c)
+                    if c >= len(ciou):
+                        continue
+                    for metric, vals in [("ImageAcc", cacc),
+                                         ("ImageRecall", crec),
+                                         ("ImageIOU", ciou)]:
+                        self.recorder.add_scalar(
+                            f"{mode}_{c:02d}_{name}_{metric}",
+                            float(vals[c]), epoch)
+            self._log_image_panels(mode, epoch)
 
         return {"Acc": float(macc), "IOU": float(miou),
                 "Recall": float(mrecall), "last": 0.0,
                 "Loss": loss_meter.avg}
+
+    def _log_image_panels(self, mode: str, epoch: int):
+        """Image panel parity (tasks/pmf/trainer.py:497-524): input pcd
+        channels + RGB, per-class probability maps of both streams,
+        entropy maps, PA guide weights, per-class label masks — every
+        print_frequency epochs, fusion nets, non-nuScenes."""
+        opts = self.opts
+        if (not self.is_fusion or self.recorder is None
+                or not bool(opts.config.get("log_images", True))
+                or epoch % opts.print_frequency != 0
+                or opts.dataset == "nuScenes"
+                or getattr(self, "_panel_batch", None) is None):
+            return
+        feature, label = self._panel_batch
+        feature = feature[:1]
+        lidar, cam = self._panel_forward(self.state, feature)
+        lidar = np.asarray(lidar[0], np.float32)
+        cam = np.asarray(cam[0], np.float32)
+        f0 = np.asarray(feature[0], np.float32)
+        lab = np.asarray(label[0])
+
+        rec = self.recorder
+        for c in range(f0.shape[-1] - 3):
+            rec.add_image(f"{mode}_PCDFeature_{c}", f0[..., c], epoch)
+        rec.add_image(f"{mode}_RGB", f0[..., -3:], epoch)
+        for c, name in self.mapped_cls_name.items():
+            c = int(c)
+            if c >= lidar.shape[-1]:
+                continue
+            rec.add_image(f"{mode}_Pred_cls_{c:02d}_{name}",
+                          lidar[..., c], epoch)
+            rec.add_image(f"{mode}_RGBPred_cls_{c:02d}_{name}",
+                          cam[..., c], epoch)
+            rec.add_image(f"{mode}_Label_cls_{c:02d}_{name}",
+                          (lab == c).astype(np.float32), epoch)
+        # entropy + PA guide weights (losses/perception_aware.py formulas)
+        nc = lidar.shape[-1]
+        ent_pcd = -(lidar * np.log(np.clip(lidar, 1e-8, None))).sum(-1) / np.log(nc)
+        ent_img = -(cam * np.log(np.clip(cam, 1e-8, None))).sum(-1) / np.log(nc)
+        conf_pcd, conf_img = 1.0 - ent_pcd, 1.0 - ent_img
+        imp = conf_pcd - conf_img
+        tau = opts.tau
+        pcd_guide = (imp > 0) * np.abs(imp) * (conf_pcd >= tau)
+        img_guide = (imp < 0) * np.abs(imp) * (conf_img >= tau)
+        rec.add_image(f"{mode}_PredEntropy", ent_pcd, epoch)
+        rec.add_image(f"{mode}_RGBPredEntropy", ent_img, epoch)
+        rec.add_image(f"{mode}_PCDGuideWeight", pcd_guide, epoch)
+        rec.add_image(f"{mode}_RGBGuideWeight", img_guide, epoch)

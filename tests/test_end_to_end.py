@@ -85,6 +85,24 @@ def test_experiment_train_and_infer(kitti_root, tmp_path):
     # resume checkpoint exists
     assert exp.trainer.ckpt.has_checkpoint()
 
+    # ---- train-time observability parity (tasks/pmf/trainer.py:438-524)
+    log_dir = exp.recorder.log_dir
+    import json as _json
+
+    tags = {(_json.loads(line)["tag"]) for line in
+            open(os.path.join(log_dir, "scalars.jsonl"))}
+    assert "Train_meanIOU" in tags and "Train_lr" in tags
+    assert "Train_LossFocal" in tags and "Train_LossPerception" in tags
+    assert any(t.startswith("Train_01_") and t.endswith("_IOU")
+               for t in tags), tags
+    assert any("_ImageIOU" in t for t in tags)
+    panels = os.listdir(os.path.join(log_dir, "images"))
+    assert any(p.startswith("Train_PredEntropy") for p in panels)
+    assert any(p.startswith("Train_PCDGuideWeight") for p in panels)
+    assert any(p.startswith("Train_RGB_") for p in panels)
+    # code snapshot (recorder.py:63-75 parity)
+    assert os.path.isdir(os.path.join(exp.recorder.code_dir, "pmf_tpu"))
+
     # ---- eval task on the saved weights ----
     from pmf_tpu.tools.infer_kitti import Inference
 
