@@ -98,9 +98,15 @@ class SparseResContextBlock(nn.Module):
 
 
 class ExtraUpSample(nn.Module):
-    """conv → LReLU → BN → PixelShuffle(2). Parity: epmf_net.py:97-102."""
+    """conv → LReLU → BN → PixelShuffle(2). Parity: epmf_net.py:97-102.
+
+    keep_packed: skip the PixelShuffle and return the half-res tensor
+    as-is — it IS the packed full-res result in channel-major phase
+    order, which a downstream packed conv consumes with zero data
+    movement (ops.packed_conv segment ("c", C/4))."""
     conv_features: int
     dtype: jnp.dtype = jnp.float32
+    keep_packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -108,16 +114,23 @@ class ExtraUpSample(nn.Module):
                  name="conv")(x)
         x = leaky_relu(x)
         x = BatchNorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
+        if self.keep_packed:
+            return x
         return pixel_shuffle(x, 2)
 
 
 class SalsaNextFusionV2(nn.Module):
-    """EPMF lidar stream. Parity: epmf_net.py:82-131."""
+    """EPMF lidar stream. Parity: epmf_net.py:82-131.
+
+    use_packed: the extraUpSample→logits tail runs in the space-to-depth
+    domain (exact) — the PixelShuffle becomes a zero-op channel
+    reinterpretation consumed by a packed 1×1 logits conv."""
     nclasses: int = 20
     base_channels: int = 32
     dropout_rate: float = 0.2
     softmax: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_packed: bool = False
 
     @nn.compact
     def __call__(self, x, img_features, train: bool = False):
@@ -160,9 +173,18 @@ class SalsaNextFusionV2(nn.Module):
                        name="upBlock3")(up3e, down1b, train)
         up1e = UpBlock(bc, self.dropout_rate, drop_out=False, dtype=dt,
                        name="upBlock4")(up2e, down0b, train)
-        up1e = ExtraUpSample(4 * bc, dtype=dt, name="extraUpSample")(up1e, train)
-        logits = Conv(self.nclasses, (1, 1), dtype=dt,
-                      name="logits")(up1e).astype(jnp.float32)
+        up1e = ExtraUpSample(4 * bc, dtype=dt, keep_packed=self.use_packed,
+                             name="extraUpSample")(up1e, train)
+        if self.use_packed:
+            from ..ops.packed_conv import depth_to_space
+
+            logits = Conv(self.nclasses, (1, 1), dtype=dt, packed=True,
+                          packed_segments=(("c", bc),),
+                          name="logits")(up1e)
+            logits = depth_to_space(logits).astype(jnp.float32)
+        else:
+            logits = Conv(self.nclasses, (1, 1), dtype=dt,
+                          name="logits")(up1e).astype(jnp.float32)
         if self.softmax:
             return jax.nn.softmax(logits, axis=-1), down5c
         return logits, down5c
@@ -178,6 +200,7 @@ class RGBDecoderV2(nn.Module):
     lidar_base_channels: int = 32
     aspp_depth: int = 512  # = in_channels[3] of the encoder
     dtype: jnp.dtype = jnp.float32
+    use_packed: bool = False
 
     @nn.compact
     def __call__(self, inputs, lidar_feature, train: bool = False):
@@ -185,22 +208,32 @@ class RGBDecoderV2(nn.Module):
         lbc = self.lidar_base_channels
         lid = ExtraUpSample(8 * lbc, dtype=dt, name="extraUpSample")(lidar_feature, train)
         img4 = ASPP(self.aspp_depth, dtype=dt, name="aspp")(inputs[3])
-        fuse = jnp.concatenate([lid, img4], axis=-1)
+        fuse = jnp.concatenate([lid, img4.astype(lid.dtype)], axis=-1)
 
-        def up_stage(x, name, kernel=(3, 3), padding=1):
+        def up_stage(x, name, kernel=(3, 3), padding=1, upsample=True):
             x = Conv(self.base_channels, kernel, padding=padding, dtype=dt,
                      name=f"{name}_conv")(x)
             x = leaky_relu(x)
             x = BatchNorm(dtype=dt, name=f"{name}_bn")(x, use_running_average=not train)
-            return upsample_bilinear(x, 2)
+            return upsample_bilinear(x, 2) if upsample else x
 
         up4 = up_stage(fuse, "up_4a")
         up3 = up_stage(jnp.concatenate([up4, inputs[2]], -1), "up_3a")
         up2 = up_stage(jnp.concatenate([up3, inputs[1]], -1), "up_2a")
         up1 = up_stage(jnp.concatenate([up2, inputs[0]], -1), "up_1a",
-                       kernel=(1, 1), padding=0)
-        out = Conv(self.nclasses, (3, 3), padding=1, dtype=dt,
-                   name="conv")(up1).astype(jnp.float32)
+                       kernel=(1, 1), padding=0,
+                       upsample=not self.use_packed)
+        if self.use_packed:
+            from ..ops.packed_conv import depth_to_space
+            from ..ops.resize import upsample_bilinear_x2_packed
+
+            up1p = upsample_bilinear_x2_packed(up1)
+            out = Conv(self.nclasses, (3, 3), padding=1, dtype=dt,
+                       packed=True, name="conv")(up1p)
+            out = depth_to_space(out).astype(jnp.float32)
+        else:
+            out = Conv(self.nclasses, (3, 3), padding=1, dtype=dt,
+                       name="conv")(up1).astype(jnp.float32)
         return jax.nn.softmax(out, axis=-1)
 
 
@@ -215,20 +248,22 @@ class EPMFNet(nn.Module):
     image_backbone: str = "resnet34"
     dropout_rate: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    use_packed: bool = False
 
     def setup(self):
         self.camera_stream_encoder = ResNetEncoder(
             backbone=self.image_backbone, dropout_rate=self.dropout_rate,
-            dtype=self.dtype)
+            dtype=self.dtype, packed_stem=self.use_packed)
         self.camera_stream_decoder = RGBDecoderV2(
             nclasses=self.nclasses,
             base_channels=self.camera_stream_encoder.expansion * 16,
             lidar_base_channels=self.base_channels,
             aspp_depth=self.camera_stream_encoder.feature_channels[3],
-            dtype=self.dtype)
+            dtype=self.dtype, use_packed=self.use_packed)
         self.lidar_stream = SalsaNextFusionV2(
             nclasses=self.nclasses, base_channels=self.base_channels,
-            dropout_rate=self.dropout_rate, dtype=self.dtype)
+            dropout_rate=self.dropout_rate, dtype=self.dtype,
+            use_packed=self.use_packed)
 
     def __call__(self, pcd_feature, img_feature, train: bool = False):
         img_feats = self.camera_stream_encoder(img_feature, train)

@@ -122,19 +122,105 @@ def pack_conv_weights(w: jax.Array, dil: int = 1,
     return wp, pads
 
 
+def _pair_plan(kh, kw, dil, padding, ci, co, py):
+    """Plan one pair conv producing output phases (py,0)+(py,1).
+
+    Returns (khq, kwq, pads, entries, in_phases) where entries =
+    [(kyq, kxq, qin(py,px), out_px, dy, dx)] and in_phases is the sorted
+    set of input phases the pair reads.
+    """
+    _, _, pad_hp, pad_wp, all_entries = _pack_plan(kh, kw, dil,
+                                                   padding[0], padding[1])
+    # _pack_plan entries are shifted to kernel indices; recover raw
+    # packed-row offsets before re-deriving this pair's tighter span
+    sub = [(kyp - pad_hp, kxp - pad_wp, qin, qout[1], dy, dx)
+           for kyp, kxp, qin, qout, dy, dx in all_entries if qout[0] == py]
+    dy_min = min(e[0] for e in sub)
+    dy_max = max(e[0] for e in sub)
+    dx_min = min(e[1] for e in sub)
+    dx_max = max(e[1] for e in sub)
+    khq, kwq = dy_max - dy_min + 1, dx_max - dx_min + 1
+    pads = ((-dy_min, khq - 1 + dy_min), (-dx_min, kwq - 1 + dx_min))
+    entries = [(dyp - dy_min, dxp - dx_min, qin, px, dy, dx)
+               for dyp, dxp, qin, px, dy, dx in sub]
+    in_phases = sorted({q[0] * 2 + q[1] for _, _, q, _, _, _ in entries})
+    return khq, kwq, pads, entries, in_phases
+
+
+def _packed_conv_pairs(xp, w, dil, padding, precision, in_segments):
+    """Pair-phase formulation: two convs, each producing output phases
+    (py,0)+(py,1) at 2·co lanes. Executed-FLOP cost vs. the full-res op:
+    2× for phase-diagonal kernels (dilation 2, 1×1 — the pair's input
+    slims to the 2 phase blocks it reads), 8/3× for dense 3×3 — both
+    beat the 4× blockfull kernel once 2co fills the 128 MXU lanes.
+    """
+    kh, kw, ci, co = w.shape
+    outs = []
+    for py in (0, 1):
+        khq, kwq, pads, entries, in_phases = _pair_plan(
+            kh, kw, dil, padding, ci, co, py)
+        x_in = xp
+        segs = in_segments or (("p", ci),)
+        # slice to a contiguous input phase-block range when possible
+        phase_off = 0
+        if (len(segs) == 1 and segs[0][0] == "p"
+                and in_phases == list(range(in_phases[0],
+                                            in_phases[0] + len(in_phases)))
+                and len(in_phases) < 4):
+            phase_off = in_phases[0]
+            x_in = xp[..., phase_off * ci:(in_phases[-1] + 1) * ci]
+        n_in = x_in.shape[-1]
+        wq = jnp.zeros((khq, kwq, n_in, 2 * co), w.dtype)
+        for kyq, kxq, (qy, qx), px, dy, dx in entries:
+            qi = qy * 2 + qx
+            qo = px * co
+            wsub = w[dy, dx]
+            c0 = 0
+            base = 0
+            for kind, cs in segs:
+                ws = wsub[c0:c0 + cs]
+                if kind == "p":
+                    lo = (qi - phase_off) * cs
+                    wq = wq.at[kyq, kxq, base + lo:base + lo + cs,
+                               qo:qo + co].set(ws)
+                else:
+                    wq = wq.at[kyq, kxq, base + qi:base + 4 * cs:4,
+                               qo:qo + co].set(ws)
+                c0 += cs
+                base += 4 * cs if phase_off == 0 else cs * len(in_phases)
+        outs.append(jax.lax.conv_general_dilated(
+            x_in, wq, (1, 1), pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def packed_conv(xp: jax.Array, w: jax.Array, dil: int = 1,
                 padding: tuple[int, int] | None = None,
-                precision=None, in_segments: tuple | None = None) -> jax.Array:
+                precision=None, in_segments: tuple | None = None,
+                pair_min_co: int | None = None) -> jax.Array:
     """Stride-1 conv on a space-to-depth tensor, exact vs. the full-res op.
 
     xp: [N, H/2, W/2, 4·ci]; w: ORIGINAL full-res kernel [kh, kw, ci, co]
     with torch-style integer `padding` (default (k-1)·dil/2 'same').
     `in_segments`: packed-channel layout of xp (see pack_conv_weights).
     Returns [N, H/2, W/2, 4·co] phase-major.
+
+    Formulation: the single blockfull kernel executes 4× the original
+    FLOPs but its 4·co output fills the 128 MXU lanes and measures
+    fastest end-to-end. The pair-phase decomposition (_packed_conv_pairs,
+    lower executed FLOPs at 2·co lanes) won isolated microbenchmarks by
+    ~14% (scripts/conv_microbench.py) but was neutral-to-slightly-worse
+    inside the full model (12.62 vs 12.53 ms/scan bs8) — XLA fuses
+    BN/activation epilogues better around one wide conv than two narrow
+    ones. Kept available via pair_min_co for future autotuning.
     """
     kh, kw, ci, co = w.shape
     if padding is None:
         padding = (((kh - 1) * dil) // 2, ((kw - 1) * dil) // 2)
+    if pair_min_co is not None and co >= pair_min_co:
+        return _packed_conv_pairs(xp, w, dil, padding, precision,
+                                  in_segments)
     wp, pads = pack_conv_weights(w, dil, padding, in_segments)
     return jax.lax.conv_general_dilated(
         xp, wp, (1, 1), pads,

@@ -39,11 +39,18 @@ from ..utils.tables import (format_table, latex_row, matrix_report,
 
 
 def build_model(opts):
+    """Model per config, honoring the perf flags (compute_dtype,
+    use_packed) — checkpoints are interchangeable across both."""
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" else jnp.float32
     if opts.net_type == "EPMFNet":
         return EPMFNet(nclasses=opts.nclasses, base_channels=opts.base_channels,
-                       image_backbone=opts.img_backbone)
+                       image_backbone=opts.img_backbone, dtype=dtype,
+                       use_packed=opts.use_packed)
     return PMFNet(nclasses=opts.nclasses, base_channels=opts.base_channels,
-                  image_backbone=opts.img_backbone)
+                  image_backbone=opts.img_backbone, dtype=dtype,
+                  use_packed=opts.use_packed)
 
 
 class Inference:

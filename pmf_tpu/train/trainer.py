@@ -284,7 +284,7 @@ class Trainer:
             self.model = EPMFNet(nclasses=opts.nclasses,
                                  base_channels=opts.base_channels,
                                  image_backbone=opts.img_backbone,
-                                 dtype=dtype)
+                                 dtype=dtype, use_packed=opts.use_packed)
         elif opts.net_type == "SalsaNext":
             self.model = SalsaNext(nclasses=opts.nclasses,
                                    base_channels=opts.base_channels,

@@ -6,7 +6,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-BATCH = 2
+BATCH = int(__import__("os").environ.get("TRACE_BATCH", "8"))
 N_POINTS = 32768
 H, W = 384, 1232
 

@@ -32,13 +32,20 @@ def test_s2d_roundtrip():
     (2, 2, (1, 1), 32, 32),   # the odd SalsaNext conv4
     (1, 1, (0, 0), 96, 32),   # 1x1 merge / logits
     (7, 1, (3, 3), 3, 64),    # ResNet stem
+    (3, 1, (1, 1), 32, 64),   # resBlock conv2
+    (3, 2, (2, 2), 64, 64),   # dilated (pair mode: input phase slice)
+    (2, 2, (1, 1), 64, 64),   # conv4 (pair mode: flipped phase slice)
+    (1, 1, (0, 0), 64, 64),   # 1x1
+    (3, 1, (1, 1), 64, 128),  # wide
 ])
-def test_packed_conv_exact(k, dil, pad, ci, co):
+@pytest.mark.parametrize("pair_min_co", [None, 1])
+def test_packed_conv_exact(k, dil, pad, ci, co, pair_min_co):
     rng = np.random.default_rng(k * 100 + dil)
     x = jnp.asarray(rng.normal(size=(2, 16, 24, ci)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(k, k, ci, co)).astype(np.float32))
     want = _conv(x, w, dil, pad)
-    got = depth_to_space(packed_conv(space_to_depth(x), w, dil, pad))
+    got = depth_to_space(packed_conv(space_to_depth(x), w, dil, pad,
+                                     pair_min_co=pair_min_co))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
 

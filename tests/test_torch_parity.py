@@ -186,6 +186,34 @@ def test_epmfnet_forward_parity(ref_models):
     assert max_err(cam_f, to_nhwc(cam_t)) < 1e-4
 
 
+def test_epmfnet_forward_parity_packed(ref_models):
+    """EPMF perf flags: same converted checkpoint through use_packed."""
+    import jax.numpy as jnp
+
+    from pmf_tpu.models import EPMFNet
+    from pmf_tpu.models.torch_convert import convert_pmf_state_dict
+
+    ref = randomize_(ref_models["epmf_net"].EPMFNet(
+        pcd_channels=5, img_channels=3, nclasses=20, base_channels=32,
+        imagenet_pretrained=False, image_backbone="resnet34"), seed=11)
+    ref.eval()
+    g = torch.Generator().manual_seed(12)
+    pcd = torch.randn(1, 5, 64, 128, generator=g)
+    img = torch.randn(1, 3, 64, 128, generator=g)
+    with torch.no_grad():
+        lidar_t, cam_t = ref(pcd, img)
+
+    params, stats = convert_pmf_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    model = EPMFNet(nclasses=20, base_channels=32, image_backbone="resnet34",
+                    use_packed=True)
+    lidar_f, cam_f = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(to_nhwc(pcd)), jnp.asarray(to_nhwc(img)), train=False)
+    assert max_err(lidar_f, to_nhwc(lidar_t)) < 1e-4
+    assert max_err(cam_f, to_nhwc(cam_t)) < 1e-4
+
+
 def test_resnet50_encoder_parity(ref_models):
     """Bottleneck-family coverage (PMF-ResNet50 is a published config)."""
     import jax.numpy as jnp
