@@ -142,7 +142,8 @@ def _affine_params(key, img_h, img_w, cfg: PVConfig, train: bool):
 
 
 def _build_view(key, points, labels, valid, proj_matrix, image,
-                img_h, img_w, cfg: PVConfig, train: bool):
+                img_h, img_w, cfg: PVConfig, train: bool,
+                aug_override=None):
     """Project, 2D-augment and rasterize one scan straight into the
     static output window.
 
@@ -164,7 +165,13 @@ def _build_view(key, points, labels, valid, proj_matrix, image,
                                                    img_h, img_w, valid)
     depth = jnp.linalg.norm(points[:, :3], axis=-1)
 
-    flip, theta, top, left = _affine_params(key, img_h, img_w, cfg, train)
+    if aug_override is not None:
+        # test hook: force (flip, theta, top, left) so the view can be
+        # compared against a reference-faithful resample at identical
+        # augmentation parameters (tests/test_aug_divergence.py)
+        flip, theta, top, left = (jnp.asarray(v) for v in aug_override)
+    else:
+        flip, theta, top, left = _affine_params(key, img_h, img_w, cfg, train)
     ch, cw = cfg.train_crop if train else cfg.eval_crop
     cy = (img_h.astype(jnp.float32) - 1.0) / 2.0
     cx = (img_w.astype(jnp.float32) - 1.0) / 2.0
