@@ -42,9 +42,13 @@ class BasicBlock(nn.Module):
                    use_bias=False, dtype=dt, name="conv1")(x)
         out = BatchNorm(dtype=dt, name="bn1")(out, use_running_average=not train)
         out = nn.relu(out)
-        # keep XLA from fusing conv2 over conv1 (a fused conv chain
-        # recomputes the producer per consumer tap — measured 3-6x cost)
-        out = jax.lax.optimization_barrier(out)
+        if not train:
+            # eval only: keep XLA from fusing conv2 over conv1 (a fused
+            # conv chain recomputes the producer per consumer tap —
+            # measured 3-6x cost). Under grad the barrier instead blocks
+            # backward-pass scheduling (train step measured 2x SLOWER
+            # with it), and the autodiff graph never forms conv chains.
+            out = jax.lax.optimization_barrier(out)
         out = Conv(self.features, (3, 3), padding=1, use_bias=False,
                    dtype=dt, name="conv2")(out)
         out = BatchNorm(dtype=dt, name="bn2")(out, use_running_average=not train)
@@ -120,7 +124,8 @@ class ResNetEncoder(nn.Module):
                 out, use_running_average=not train)
             out = nn.relu(out)
             out = packed_max_pool_3x3_s2(out, 64)
-            out = jax.lax.optimization_barrier(out)
+            if not train:
+                out = jax.lax.optimization_barrier(out)
         else:
             out = Conv(64, (7, 7), stride=1, padding=3, use_bias=False,
                        dtype=self.dtype, name="conv1")(x)

@@ -218,7 +218,18 @@ def packed_conv(xp: jax.Array, w: jax.Array, dil: int = 1,
     kh, kw, ci, co = w.shape
     if padding is None:
         padding = (((kh - 1) * dil) // 2, ((kw - 1) * dil) // 2)
-    if pair_min_co is not None and co >= pair_min_co:
+    force_pairs = pair_min_co is not None and co >= pair_min_co
+    # Auto-pair the phase-diagonal kernels (dilation-2 / parity-preserving
+    # taps): each pair then reads only 2 adjacent input phase blocks, so
+    # the executed FLOPs drop to 2× the original at 2co MXU lanes — a
+    # clear win over blockfull's 4× once 2co ≥ 128.
+    auto_pairs = (co >= 64
+                  and (in_segments is None
+                       or (len(in_segments) == 1
+                           and in_segments[0][0] == "p"))
+                  and all(len(_pair_plan(kh, kw, dil, padding, ci, co,
+                                         py)[4]) <= 2 for py in (0, 1)))
+    if force_pairs or auto_pairs:
         return _packed_conv_pairs(xp, w, dil, padding, precision,
                                   in_segments)
     wp, pads = pack_conv_weights(w, dil, padding, in_segments)

@@ -163,6 +163,26 @@ def main():
             return lidar.mean()
         timed("full", run_full, (pcd, img))
 
+    if "pipeline" in which:
+        # bench.py-identical: preproc + forward + argmax
+        def run_pipeline(eps, points, labels, valid, pm, image, ih, iw):
+            f, m, l = build_batch(jax.random.PRNGKey(0), points + eps,
+                                  labels, valid, pm, image, ih, iw, cfg,
+                                  False)
+            lidar, cam = model.apply(variables, f[..., :5], f[..., 5:8],
+                                     train=False)
+            pred = jnp.argmax(lidar, -1)
+            return (pred[0, 0, 0] * 0).astype(jnp.float32)
+        timed("pipeline", run_pipeline, raw)
+
+    if "nopre" in which:
+        # forward + argmax on fixed inputs (isolates preproc)
+        def run_nopre(eps, pcd, img):
+            lidar, cam = model.apply(variables, pcd + eps, img, train=False)
+            pred = jnp.argmax(lidar, -1)
+            return (pred[0, 0, 0] * 0).astype(jnp.float32)
+        timed("nopre", run_nopre, (pcd, img))
+
 
 if __name__ == "__main__":
     main()
