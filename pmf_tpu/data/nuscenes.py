@@ -67,13 +67,83 @@ SEG_CLASS_TO_INDEX = {
 
 # Official devkit mini split (nuscenes/utils/splits.py: mini_train /
 # mini_val) — embedded so v1.0-mini debug runs need no external file.
-# The 700/150-scene trainval lists are NOT embedded: they are curated
-# constants we cannot re-derive offline without risking silent
-# corruption; generate them from any devkit install with
-# scripts/make_nusc_splits.py and pass `nusc_splits_file`.
 MINI_TRAIN = ["scene-0061", "scene-0553", "scene-0655", "scene-0757",
               "scene-0796", "scene-1077", "scene-1094", "scene-1100"]
 MINI_VAL = ["scene-0103", "scene-0916"]
+
+# Official devkit val split (nuscenes/utils/splits.py: `val`, 150 scene
+# names). The v1.0-trainval DB contains exactly the 850 train+val scenes,
+# so the 700-scene train list is derived as the complement of this list
+# over the DB's scene table — embedding val alone pins the whole split
+# (reference gets both via `from nuscenes.utils import splits`,
+# dataset_nuscenes.py:13). `nusc_splits_file` still overrides (it also
+# cross-checks: a mismatch against these constants raises, see
+# _resolve_train_scenes); regenerate one from any devkit install with
+# scripts/make_nusc_splits.py.
+VAL_SCENES = [
+    "scene-0003", "scene-0012", "scene-0013", "scene-0014", "scene-0015",
+    "scene-0016", "scene-0017", "scene-0018", "scene-0035", "scene-0036",
+    "scene-0038", "scene-0039", "scene-0092", "scene-0093", "scene-0094",
+    "scene-0095", "scene-0096", "scene-0097", "scene-0098", "scene-0099",
+    "scene-0100", "scene-0101", "scene-0102", "scene-0103", "scene-0104",
+    "scene-0105", "scene-0106", "scene-0107", "scene-0108", "scene-0109",
+    "scene-0110", "scene-0221", "scene-0268", "scene-0269", "scene-0270",
+    "scene-0271", "scene-0272", "scene-0273", "scene-0274", "scene-0275",
+    "scene-0276", "scene-0277", "scene-0278", "scene-0329", "scene-0330",
+    "scene-0331", "scene-0332", "scene-0344", "scene-0345", "scene-0346",
+    "scene-0519", "scene-0520", "scene-0521", "scene-0522", "scene-0523",
+    "scene-0524", "scene-0552", "scene-0553", "scene-0554", "scene-0555",
+    "scene-0556", "scene-0557", "scene-0558", "scene-0559", "scene-0560",
+    "scene-0561", "scene-0562", "scene-0563", "scene-0564", "scene-0565",
+    "scene-0625", "scene-0626", "scene-0627", "scene-0629", "scene-0630",
+    "scene-0632", "scene-0633", "scene-0634", "scene-0635", "scene-0636",
+    "scene-0637", "scene-0638", "scene-0770", "scene-0771", "scene-0775",
+    "scene-0777", "scene-0778", "scene-0780", "scene-0781", "scene-0782",
+    "scene-0783", "scene-0784", "scene-0794", "scene-0795", "scene-0796",
+    "scene-0797", "scene-0798", "scene-0799", "scene-0800", "scene-0802",
+    "scene-0904", "scene-0905", "scene-0906", "scene-0907", "scene-0908",
+    "scene-0909", "scene-0910", "scene-0911", "scene-0912", "scene-0913",
+    "scene-0914", "scene-0915", "scene-0916", "scene-0917", "scene-0919",
+    "scene-0920", "scene-0921", "scene-0922", "scene-0923", "scene-0924",
+    "scene-0925", "scene-0926", "scene-0927", "scene-0928", "scene-0929",
+    "scene-0930", "scene-0931", "scene-0962", "scene-0963", "scene-0966",
+    "scene-0967", "scene-0968", "scene-0969", "scene-0971", "scene-0972",
+    "scene-1059", "scene-1060", "scene-1061", "scene-1062", "scene-1063",
+    "scene-1064", "scene-1065", "scene-1066", "scene-1067", "scene-1068",
+    "scene-1069", "scene-1070", "scene-1071", "scene-1072", "scene-1073",
+]
+
+
+def _resolve_train_scenes(version: str, scene_by_name: dict,
+                          train_scene_names, splits_file):
+    """Resolve the train-scene name list for a DB version.
+
+    Priority: explicit `train_scene_names` → `splits_file` (JSON with a
+    "train" key; cross-checked against the embedded constants when the DB
+    looks official) → embedded defaults (mini split for v1.0-mini;
+    complement-of-VAL_SCENES for v1.0-trainval) → None (= every scene
+    trains; synthetic test fixtures take this path).
+    """
+    if train_scene_names is not None:
+        return train_scene_names
+    if splits_file:
+        with open(splits_file) as f:
+            names = json.load(f)["train"]
+        overlap = [n for n in VAL_SCENES if n in scene_by_name]
+        if len(overlap) == len(VAL_SCENES):  # official trainval DB
+            bad = sorted(set(names) & set(VAL_SCENES))
+            if bad:
+                raise ValueError(
+                    f"splits_file train list intersects the official val "
+                    f"split ({len(bad)} scenes, e.g. {bad[:3]})")
+        return names
+    if version == "v1.0-mini":
+        present = [n for n in MINI_TRAIN if n in scene_by_name]
+        return present or None
+    if version == "v1.0-trainval":
+        val = set(VAL_SCENES)
+        return [n for n in scene_by_name if n not in val]
+    return None
 
 CAMERAS = ["CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_BACK_RIGHT", "CAM_BACK",
            "CAM_BACK_LEFT", "CAM_FRONT_LEFT"]
@@ -185,16 +255,8 @@ class Nuscenes:
         self.mapped_cls_name = {v: k for k, v in SEG_CLASS_TO_INDEX.items()}
 
         scene_by_name = {s["name"]: s["token"] for s in self.nusc.scene}
-        if splits_file:
-            with open(splits_file) as f:
-                train_scene_names = json.load(f)["train"]
-        elif train_scene_names is None and version == "v1.0-mini":
-            # official devkit mini split (nuscenes/utils/splits.py) —
-            # embedded so debug runs need no external file; applied only
-            # when the DB actually contains those scenes (synthetic test
-            # fixtures use other names and keep the all-train default)
-            present = [n for n in MINI_TRAIN if n in scene_by_name]
-            train_scene_names = present or None
+        train_scene_names = _resolve_train_scenes(
+            version, scene_by_name, train_scene_names, splits_file)
         if train_scene_names is None:
             train_tokens = set(scene_by_name.values())
         else:
@@ -320,14 +382,8 @@ class NuscenesV2(Nuscenes):
         if has_image:
             # rebuild the token list scene-ordered with cam channels
             scene_by_name = {s["name"]: s["token"] for s in self.nusc.scene}
-            if splits_file:
-                import json as _json
-
-                with open(splits_file) as f:
-                    train_scene_names = _json.load(f)["train"]
-            elif train_scene_names is None and version == "v1.0-mini":
-                present = [n for n in MINI_TRAIN if n in scene_by_name]
-                train_scene_names = present or None
+            train_scene_names = _resolve_train_scenes(
+                version, scene_by_name, train_scene_names, splits_file)
             if train_scene_names is None:
                 train_tokens = set(scene_by_name.values())
             else:

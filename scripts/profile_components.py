@@ -108,6 +108,39 @@ def main():
             return f.mean()
         timed("preproc", run_preproc, raw)
 
+    if "scatter" in which:
+        from pmf_tpu.ops.scatter import fill_canvas, zbuffer_scatter_packed
+        from pmf_tpu.ops.projection import perspective_project
+
+        def run_zbuf(eps, points, labels, valid, pm, image, ih, iw):
+            def one(pts, val, P, h, w):
+                rows, cols, keep = perspective_project(pts[:, :3] + eps, P,
+                                                       h, w, val)
+                depth = jnp.linalg.norm(pts[:, :3], axis=-1)
+                winner, mask = zbuffer_scatter_packed(
+                    rows.astype(jnp.int32), cols.astype(jnp.int32), depth,
+                    keep, H, W)
+                return winner.astype(jnp.float32).mean()
+            return jax.vmap(one)(points, valid, pm, ih, iw).mean()
+        timed("zbuf", run_zbuf, raw)
+
+        def run_scatter_fill(eps, points, labels, valid, pm, image, ih, iw):
+            def one(pts, lab, val, P, h, w):
+                rows, cols, keep = perspective_project(pts[:, :3] + eps, P,
+                                                       h, w, val)
+                depth = jnp.linalg.norm(pts[:, :3], axis=-1)
+                ri = rows.astype(jnp.int32)
+                ci = cols.astype(jnp.int32)
+                winner, mask = zbuffer_scatter_packed(ri, ci, depth, keep,
+                                                      H, W)
+                vals = jnp.concatenate(
+                    [depth[:, None], pts[:, :4],
+                     lab[:, None].astype(jnp.float32)], axis=-1)
+                canvas = fill_canvas(vals, ri, ci, keep, winner, mask)
+                return canvas.mean()
+            return jax.vmap(one)(points, labels, valid, pm, ih, iw).mean()
+        timed("zbuf+fill", run_scatter_fill, raw)
+
     if "camera" in which:
         enc = ResNetEncoder(backbone="resnet34", dtype=jnp.bfloat16,
                             packed_stem=True)
@@ -172,7 +205,9 @@ def main():
             lidar, cam = model.apply(variables, f[..., :5], f[..., 5:8],
                                      train=False)
             pred = jnp.argmax(lidar, -1)
-            return (pred[0, 0, 0] * 0).astype(jnp.float32)
+            # non-foldable scalar: keeps the whole graph live (a *0
+            # output lets XLA DCE everything upstream)
+            return pred.astype(jnp.float32).mean()
         timed("pipeline", run_pipeline, raw)
 
     if "nopre" in which:
@@ -180,7 +215,7 @@ def main():
         def run_nopre(eps, pcd, img):
             lidar, cam = model.apply(variables, pcd + eps, img, train=False)
             pred = jnp.argmax(lidar, -1)
-            return (pred[0, 0, 0] * 0).astype(jnp.float32)
+            return pred.astype(jnp.float32).mean()
         timed("nopre", run_nopre, (pcd, img))
 
 

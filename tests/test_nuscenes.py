@@ -201,6 +201,33 @@ def test_val_split_empty_when_all_scenes_train(nusc_root):
     assert len(ds2) == 12
 
 
+def test_embedded_val_split_constants():
+    """The embedded official val split must be a clean 150-scene set,
+    disjoint from the mini-train scenes that are not shared with val
+    (scene-0553/0796/1094/1100 ARE officially in both mini_train and
+    val — mini is carved out of trainval, not disjoint from it)."""
+    from pmf_tpu.data.nuscenes import MINI_VAL, VAL_SCENES
+
+    assert len(VAL_SCENES) == 150
+    assert len(set(VAL_SCENES)) == 150
+    assert all(n.startswith("scene-") and len(n) == 10 for n in VAL_SCENES)
+    assert VAL_SCENES == sorted(VAL_SCENES)
+    # mini_val is a subset of the official val split (devkit invariant)
+    assert set(MINI_VAL) <= set(VAL_SCENES)
+
+
+def test_trainval_split_derives_train_as_complement(nusc_root):
+    """A DB advertising v1.0-trainval with non-official scene names keeps
+    every scene in train (complement of an absent val list)."""
+    tv = os.path.join(nusc_root, "v1.0-trainval")
+    if not os.path.exists(tv):
+        os.symlink(os.path.join(nusc_root, "v1.0-mini"), tv)
+    ds = Nuscenes(nusc_root, version="v1.0-trainval", split="val")
+    assert len(ds) == 0
+    ds_train = Nuscenes(nusc_root, version="v1.0-trainval", split="train")
+    assert len(ds_train) == 12
+
+
 def test_nuscenes_v2_adapter_and_pipeline(nusc_root):
     import jax
     from pmf_tpu.data import NuscenesV2, nuscenes_v2_sample_reader
