@@ -1,0 +1,176 @@
+"""Pallas TPU kernel: sorted-winner tile rasterization (z-buffer fill).
+
+The XLA scatter/gather lowerings serialize per update (~0.3-0.4 ms per
+32k-point scatter on v5e), so materializing the 6-channel point canvas
+costs ~2 ms/scan even with the flat-per-channel formulation
+(`ops.scatter.fill_canvas`), and the pure-XLA sort-based variant
+(`ops.scatter.rasterize_zbuffer`) loses its winnings to a 3840-slice
+gather (~1.7 ms) plus a materialized one-hot (~0.6 ms). This kernel
+keeps the cheap parts in XLA — two 32k-element sorts (~0.3 ms
+together) and one small scatter-min for tile starts (~0.26 ms) — and
+fuses the expensive parts on-chip:
+
+  grid (batch, image_row); per step, one double-buffered DMA pulls the
+  row's candidate range of the pixel-sorted winner array into VMEM
+  (winners are unique per pixel, so a row owns ≤W consecutive entries),
+  then each 128-column tile builds its [128 cand × 128 col] one-hot in
+  registers and places features with one small MXU dot — no HBM one-hot,
+  no per-update serialization.
+
+Output-equivalent to `zbuffer_scatter_packed` + `fill_canvas` (same
+depth quantization, same stable lowest-index tie-break).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE = 128
+
+
+def _prep_sorted_winners(rows, cols, depth, keep, values, H, W,
+                         depth_quant, scap):
+    """XLA-side prep for ONE sample: stable two-key sort (pixel,
+    quantized depth) resolves winners; a second sort compacts winners to
+    the front ordered by pixel; one small scatter-min + suffix-min gives
+    per-128-col-tile segment starts.
+
+    Returns (data [N+scap, 2+F] f32 — col, occupancy, features —,
+    tile_start [H*ntw+1] int32).
+    """
+    N, F = values.shape
+    ntw = -(-W // _TILE)
+    T = H * ntw
+    i32max = jnp.int32(2**31 - 1)
+
+    r = jnp.clip(rows.astype(jnp.int32), 0, H - 1)
+    c = jnp.clip(cols.astype(jnp.int32), 0, W - 1)
+    pix = jnp.where(keep, r * W + c, H * W)
+    dq = jnp.clip(depth.astype(jnp.float32) / depth_quant,
+                  0, 2**16 - 1).astype(jnp.int32)
+    colf = c.astype(jnp.float32)
+    ops = jax.lax.sort(
+        [pix, dq, colf] + [values[:, f] for f in range(F)], num_keys=2)
+    spix, scol = ops[0], ops[2]
+    svals = ops[3:]
+    valid = spix < H * W
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), spix[:-1]])
+    won = valid & (spix != prev)
+
+    key2 = jnp.where(won, spix, i32max)
+    ops2 = jax.lax.sort([key2, scol] + list(svals), num_keys=1)
+    wpix, wcol = ops2[0], ops2[1]
+    wvals = ops2[2:]
+
+    tile_id = jnp.where(wpix < H * W,
+                        (wpix // W) * ntw + (wpix % W) // _TILE, T)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    tile_start = jnp.full((T + 1,), N, jnp.int32).at[tile_id].min(pos)
+    tile_start = jax.lax.associative_scan(jnp.minimum, tile_start,
+                                          reverse=True)
+
+    data = jnp.stack([wcol, jnp.ones((N,), jnp.float32)] + list(wvals),
+                     axis=1)
+    data = jnp.pad(data, ((0, scap), (0, 0)), constant_values=-1.0)
+    return data, tile_start
+
+
+def _make_kernel(B, H, ntw, C, scap):
+    T = H * ntw
+
+    def kernel(ts_ref, data_ref, out_ref, scratch, sems):
+        b = pl.program_id(0)
+        r = pl.program_id(1)
+        lin = b * H + r
+        slot = jax.lax.rem(lin, 2)
+        nxt = jax.lax.rem(lin + 1, 2)
+
+        def dma(bb, rr, sl):
+            start = ts_ref[bb, rr * ntw]
+            return pltpu.make_async_copy(
+                data_ref.at[bb, pl.ds(start, scap), :],
+                scratch.at[sl], sems.at[sl])
+
+        @pl.when(lin == 0)
+        def _():
+            dma(b, r, slot).start()
+
+        @pl.when(lin + 1 < B * H)
+        def _():
+            rr = jax.lax.rem(r + 1, H)
+            bb = b + jnp.where(r + 1 == H, 1, 0)
+            dma(bb, rr, nxt).start()
+
+        dma(b, r, slot).wait()
+
+        s_row = ts_ref[b, r * ntw]
+        for t in range(ntw):
+            s_t = ts_ref[b, r * ntw + t]
+            e_t = ts_ref[b, r * ntw + t + 1]
+            o_t = s_t - s_row
+            blk = scratch[slot, pl.ds(o_t, _TILE), :]       # [128, C]
+            ci = blk[:, 0:1].astype(jnp.int32) - t * _TILE  # [128, 1]
+            kv = jax.lax.broadcasted_iota(
+                jnp.int32, (_TILE, 1), 0) < (e_t - s_t)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1)
+            onehot = ((ci == lanes) & kv).astype(jnp.float32)
+            # [C-1(f), 128(j)] = vals[k, f]ᵀ · onehot[k, j]; each output
+            # pixel has ≤1 contributor so f32 accumulation is exact
+            res = jax.lax.dot_general(
+                blk[:, 1:], onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            out_ref[0, 0, :, t * _TILE:(t + 1) * _TILE] = res
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "depth_quant",
+                                             "interpret"))
+def rasterize_zbuffer_pallas(rows, cols, depth, keep, values, H: int,
+                             W: int, depth_quant: float = 1.0 / 64.0,
+                             interpret: bool = False):
+    """Batched sort-based z-buffer rasterization with a Pallas fill.
+
+    rows/cols [B, N] int, depth [B, N] f32, keep [B, N] bool,
+    values [B, N, F] f32. Returns (canvas [B, H, W, F] f32,
+    mask [B, H, W] bool).
+    """
+    B, N, F = values.shape
+    ntw = -(-W // _TILE)
+    T = H * ntw
+    C = 2 + F
+    scap = ntw * _TILE + _TILE
+
+    data, tile_start = jax.vmap(
+        lambda r, c, d, k, v: _prep_sorted_winners(
+            r, c, d, k, v, H, W, depth_quant, scap)
+    )(rows, cols, depth, keep, values)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 1, C - 1, ntw * _TILE),
+                               lambda b, r, *_: (b, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, scap, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_kernel(B, H, ntw, C, scap),
+        out_shape=jax.ShapeDtypeStruct((B, H, C - 1, ntw * _TILE),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_start, data)
+
+    canvas = jnp.moveaxis(out, 2, 3)[:, :, :W]   # [B, H, W, C-1]
+    mask = canvas[..., 0] > 0.5
+    return canvas[..., 1:], mask

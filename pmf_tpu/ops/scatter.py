@@ -131,6 +131,106 @@ def fill_canvas(values: jax.Array, rows: jax.Array, cols: jax.Array,
     return img
 
 
+def rasterize_zbuffer(rows: jax.Array, cols: jax.Array, depth: jax.Array,
+                      keep: jax.Array, values: jax.Array, H: int, W: int,
+                      depth_quant: float = 1.0 / 64.0, tile: int = 128):
+    """Sort-based z-buffer rasterization: one pass from points to a dense
+    [H, W, F] canvas + occupancy mask. Output-equivalent to
+    `zbuffer_scatter_packed` + `fill_canvas` (same 1/`depth_quant`
+    z-test quantization, same lowest-point-index tie-break via stable
+    sort), but built from TPU-fast primitives.
+
+    TPU rationale (measured at 32k pts, 384×1232, bs8 on v5e):
+    every XLA scatter costs ~0.3-0.4 ms/scan regardless of flags
+    (updates serialize), so the scatter-min z-buffer + F flat fill
+    scatters floor at ~2 ms/scan. A 32k-element multi-operand sort is
+    0.26 ms — so instead:
+      1. stable-sort points by (pixel, quantized depth); the first
+         element of each pixel run is that pixel's winner;
+      2. stable-sort winners to the front by pixel (one more sort) —
+         winners are unique per pixel, so any 128-wide column tile of
+         the image owns ≤128 consecutive entries of this array;
+      3. per-tile segment starts: ONE small scatter-min + suffix-min;
+      4. gather each tile's ≤128 candidate rows with a static-size
+         dynamic slice (contiguous, DMA-friendly);
+      5. place candidates at their column with a per-tile one-hot
+         matmul (each output pixel has ≤1 contributor, so the f32
+         accumulation is exact) — MXU work, ~1 GFLOP per scan.
+
+    Args: rows/cols [N] int, depth [N] f32, keep [N] bool,
+          values [N, F] f32 (the per-point feature rows to place).
+    Returns: (canvas [H, W, F] f32 — zeros at empty pixels,
+              mask [H, W] bool).
+    """
+    N, F = values.shape
+    ntw = -(-W // tile)  # ceil
+    T = H * ntw
+    i32max = jnp.int32(2**31 - 1)
+
+    r = jnp.clip(rows.astype(jnp.int32), 0, H - 1)
+    c = jnp.clip(cols.astype(jnp.int32), 0, W - 1)
+    pix = jnp.where(keep, r * W + c, H * W)
+    dq = jnp.clip(depth.astype(jnp.float32) / depth_quant,
+                  0, 2**16 - 1).astype(jnp.int32)
+
+    # 1. winner resolution: stable two-key sort (pixel, quantized depth);
+    # stability = lowest original index wins ties, matching
+    # zbuffer_scatter_packed's packed-key tie-break.
+    colf = c.astype(jnp.float32)
+    ops = jax.lax.sort(
+        [pix, dq, colf] + [values[:, f] for f in range(F)], num_keys=2)
+    spix, _, scol = ops[0], ops[1], ops[2]
+    svals = ops[3:]
+    valid = spix < H * W
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), spix[:-1]])
+    won = valid & (spix != prev)
+
+    # 2. compact winners to the front, ordered by pixel
+    key2 = jnp.where(won, spix, i32max)
+    ops2 = jax.lax.sort([key2, scol] + list(svals), num_keys=1)
+    wpix, wcol = ops2[0], ops2[1]
+    wvals = ops2[2:]
+
+    # 3. per-tile start positions (winners are pixel-sorted, and tile id
+    # is monotone in pixel, so each tile owns one contiguous segment)
+    tile_id = jnp.where(wpix < H * W,
+                        (wpix // W) * ntw + (wpix % W) // tile, T)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    tile_start = jnp.full((T + 1,), N, jnp.int32).at[tile_id].min(pos)
+    tile_start = jax.lax.associative_scan(jnp.minimum, tile_start,
+                                          reverse=True)
+
+    # 4. gather each tile's candidate block (static size, contiguous)
+    data = jnp.stack([wcol, jnp.ones((N,), jnp.float32)] + list(wvals),
+                     axis=1)  # [N, 2+F]: col, occupancy, features
+    data = jnp.pad(data, ((0, tile), (0, 0)),
+                   constant_values=-1.0)  # col -1 never matches a lane
+    starts = tile_start[:T]
+    dense = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(data, (s, 0), (tile, 2 + F)))(starts)
+
+    # 5. one-hot placement: output pixel j of tile t takes the candidate
+    # whose column lands there (≤1 by uniqueness)
+    toff = (jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).squeeze(-1)
+            % ntw) * tile
+    ci = dense[..., 0].astype(jnp.int32) - toff[:, None]
+    k_valid = (starts[:, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, tile), 1)) < tile_start[1:, None]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2)
+    onehot = ((ci[:, :, None] == lanes) & k_valid[:, :, None]
+              ).astype(jnp.bfloat16)
+    # HIGHEST precision: TPU's default f32 dot truncates operands to
+    # bf16; the multi-pass decomposition keeps 1.0 × v exact, so the
+    # canvas carries bit-exact f32 point features (≤1 term per pixel).
+    tiles_out = jnp.einsum("tkj,tkf->tjf", onehot,
+                           dense[..., 1:].astype(jnp.float32),
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+    canvas = tiles_out.reshape(H, ntw * tile, 1 + F)[:, :W]
+    mask = canvas[..., 0] > 0.5
+    return canvas[..., 1:], mask
+
+
 def scatter_to_image(values: jax.Array, winner_idx: jax.Array,
                      mask: jax.Array, fill: float = 0.0) -> jax.Array:
     """Gather per-point values into the image using z-buffer winners.

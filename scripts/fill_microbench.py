@@ -111,3 +111,26 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_rasterize():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from pmf_tpu.ops.scatter import rasterize_zbuffer
+
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(rng.integers(0, H, (BATCH, N)).astype(np.int32))
+    cols = jnp.asarray(rng.integers(0, W, (BATCH, N)).astype(np.int32))
+    depth = jnp.asarray(rng.uniform(2, 70, (BATCH, N)).astype(np.float32))
+    keep = jnp.asarray(rng.random((BATCH, N)) < 0.8)
+    vals = jnp.asarray(rng.random((BATCH, N, F)).astype(np.float32))
+
+    def raster(eps, rows, cols, depth, keep, vals):
+        def one(r, c, d, k, v):
+            canvas, m = rasterize_zbuffer(r, c, d + eps, k, v, H, W)
+            return canvas.mean()
+        return jax.vmap(one)(rows, cols, depth, keep, vals).mean()
+    timed("rasterize", raster, (rows, cols, depth, keep, vals))

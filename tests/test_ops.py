@@ -255,3 +255,61 @@ def test_fill_canvas_matches_gather_path():
                                  winner, mask))
     ref = np.asarray(scatter_to_image(jnp.asarray(vals), winner, mask))
     np.testing.assert_allclose(img, ref, rtol=1e-6)
+
+
+def test_rasterize_zbuffer_matches_scatter_path():
+    """Sort-based rasterizer == scatter-min z-buffer + fill (bit-exact
+    values, same winners, same tie-breaks), incl. W not a multiple of
+    the 128 tile and an all-invalid scan."""
+    from pmf_tpu.ops import fill_canvas, zbuffer_scatter_packed
+    from pmf_tpu.ops.scatter import rasterize_zbuffer
+
+    rng = np.random.default_rng(12)
+    for N, H, W in [(4000, 48, 200), (1500, 16, 128), (800, 8, 30)]:
+        rows = rng.integers(-3, H + 3, N)  # include out-of-range coords
+        cols = rng.integers(-3, W + 3, N)
+        depth = rng.uniform(1, 80, N).astype(np.float32)
+        keep = (rng.random(N) > 0.2) & (rows >= 0) & (rows < H) & \
+            (cols >= 0) & (cols < W)
+        vals = rng.normal(size=(N, 6)).astype(np.float32)
+        vals[:, 5] = rng.integers(0, 20, N)  # label-like channel
+
+        winner, mask_ref = zbuffer_scatter_packed(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(depth),
+            jnp.asarray(keep), H, W)
+        ref = np.asarray(fill_canvas(jnp.asarray(vals), jnp.asarray(rows),
+                                     jnp.asarray(cols), jnp.asarray(keep),
+                                     winner, mask_ref))
+        canvas, mask = rasterize_zbuffer(
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(depth),
+            jnp.asarray(keep), jnp.asarray(vals), H, W)
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask_ref))
+        np.testing.assert_array_equal(np.asarray(canvas), ref)
+
+    # all-invalid scan → empty canvas
+    canvas, mask = rasterize_zbuffer(
+        jnp.zeros((64,), jnp.int32), jnp.zeros((64,), jnp.int32),
+        jnp.ones((64,)), jnp.zeros((64,), bool),
+        jnp.ones((64, 6)), 8, 130)
+    assert not np.asarray(mask).any()
+    assert (np.asarray(canvas) == 0).all()
+
+
+def test_rasterize_zbuffer_batched_jit():
+    import jax
+
+    from pmf_tpu.ops.scatter import rasterize_zbuffer
+
+    rng = np.random.default_rng(13)
+    B, N, H, W = 3, 1000, 24, 150
+    rows = jnp.asarray(rng.integers(0, H, (B, N)).astype(np.int32))
+    cols = jnp.asarray(rng.integers(0, W, (B, N)).astype(np.int32))
+    depth = jnp.asarray(rng.uniform(1, 60, (B, N)).astype(np.float32))
+    keep = jnp.asarray(rng.random((B, N)) > 0.3)
+    vals = jnp.asarray(rng.normal(size=(B, N, 4)).astype(np.float32))
+    fn = jax.jit(jax.vmap(
+        lambda r, c, d, k, v: rasterize_zbuffer(r, c, d, k, v, H, W)))
+    canvas, mask = fn(rows, cols, depth, keep, vals)
+    assert canvas.shape == (B, H, W, 4)
+    assert mask.shape == (B, H, W)
+    assert np.isfinite(np.asarray(canvas)).all()
