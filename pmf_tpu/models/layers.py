@@ -27,6 +27,11 @@ def _pad2(p) -> Sequence[tuple[int, int]]:
     return ((p[0], p[0]), (p[1], p[1]))
 
 
+# post-activation registry for Conv(post=...): named (not callable-valued)
+# so module fields stay hashable/comparable
+_POST = {"leaky": leaky_relu}
+
+
 class _PackedConvInner(nn.Module):
     """Holds the ORIGINAL full-res kernel params but applies the conv in
     the space-to-depth domain (ops.packed_conv). Named "Conv_0" by the
@@ -40,6 +45,7 @@ class _PackedConvInner(nn.Module):
     use_bias: bool
     dtype: jnp.dtype
     segments: tuple | None = None
+    post: str | None = None
 
     @nn.compact
     def __call__(self, xp):
@@ -48,14 +54,17 @@ class _PackedConvInner(nn.Module):
         ci = xp.shape[-1] // 4
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (*self.kernel, ci, self.features), jnp.float32)
-        y = packed_conv(xp.astype(self.dtype), k.astype(self.dtype),
-                        dil=self.dilation, padding=self.padding,
-                        in_segments=self.segments)
-        if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros,
-                           (self.features,), jnp.float32)
-            y = y + jnp.tile(b.astype(self.dtype), 4)
-        return y
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32) if self.use_bias \
+            else None
+        # bias + activation ride the conv epilogue (per pair conv in the
+        # pair-phase decomposition — applied after the phase concat they
+        # cost a standalone full-tensor pass)
+        return packed_conv(xp.astype(self.dtype), k.astype(self.dtype),
+                           dil=self.dilation, padding=self.padding,
+                           in_segments=self.segments,
+                           bias=None if b is None else b.astype(self.dtype),
+                           post_fn=_POST.get(self.post))
 
 
 class Conv(nn.Module):
@@ -75,6 +84,7 @@ class Conv(nn.Module):
     packed: bool = False
     packed_segments: tuple | None = None  # input packed-channel layout
                                           # (see ops.packed_conv)
+    post: str | None = None  # fused post-activation ("leaky")
 
     @nn.compact
     def __call__(self, x):
@@ -85,13 +95,15 @@ class Conv(nn.Module):
             return _PackedConvInner(self.features, self.kernel, pad,
                                     self.dilation, self.use_bias,
                                     self.dtype, self.packed_segments,
-                                    name="Conv_0")(x)
-        return nn.Conv(self.features, self.kernel,
-                       strides=(self.stride, self.stride),
-                       padding=_pad2(self.padding),
-                       kernel_dilation=(self.dilation, self.dilation),
-                       use_bias=self.use_bias, dtype=self.dtype,
-                       param_dtype=jnp.float32)(x)
+                                    self.post, name="Conv_0")(x)
+        y = nn.Conv(self.features, self.kernel,
+                    strides=(self.stride, self.stride),
+                    padding=_pad2(self.padding),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=self.use_bias, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        post = _POST.get(self.post)
+        return post(y) if post is not None else y
 
 
 class BatchNorm(nn.Module):

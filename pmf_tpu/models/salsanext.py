@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from ..ops.packed_conv import packed_avg_pool_3x3_s2
 from ..ops.resize import pixel_shuffle
-from .layers import BatchNorm, Conv, Dropout2d, avg_pool_3x3_s2, leaky_relu
+from .layers import BatchNorm, Conv, Dropout2d, avg_pool_3x3_s2
 
 
 class ResContextBlock(nn.Module):
@@ -31,14 +31,14 @@ class ResContextBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         dt, pk = self.dtype, self.packed
-        shortcut = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
-                                   name="conv1")(x))
-        resA = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
-                               packed=pk, name="conv2")(shortcut))
+        shortcut = Conv(self.features, (1, 1), dtype=dt, packed=pk,
+                        post="leaky", name="conv1")(x)
+        resA = Conv(self.features, (3, 3), padding=1, dtype=dt,
+                    packed=pk, post="leaky", name="conv2")(shortcut)
         resA1 = BatchNorm(dtype=dt, packed=pk, name="bn1")(
             resA, use_running_average=not train)
-        resA = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
-                               dtype=dt, packed=pk, name="conv3")(resA1))
+        resA = Conv(self.features, (3, 3), padding=2, dilation=2,
+                    dtype=dt, packed=pk, post="leaky", name="conv3")(resA1)
         resA2 = BatchNorm(dtype=dt, packed=pk, name="bn2")(
             resA, use_running_average=not train)
         return shortcut + resA2
@@ -60,26 +60,27 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         dt, pk = self.dtype, self.packed
-        shortcut = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
-                                   name="conv1")(x))
-        resA = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
-                               packed=pk, name="conv2")(x))
+        shortcut = Conv(self.features, (1, 1), dtype=dt, packed=pk,
+                        post="leaky", name="conv1")(x)
+        resA = Conv(self.features, (3, 3), padding=1, dtype=dt,
+                    packed=pk, post="leaky", name="conv2")(x)
         resA1 = BatchNorm(dtype=dt, packed=pk, name="bn1")(
             resA, use_running_average=not train)
-        resA = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
-                               dtype=dt, packed=pk, name="conv3")(resA1))
+        resA = Conv(self.features, (3, 3), padding=2, dilation=2,
+                    dtype=dt, packed=pk, post="leaky", name="conv3")(resA1)
         resA2 = BatchNorm(dtype=dt, packed=pk, name="bn2")(
             resA, use_running_average=not train)
-        resA = leaky_relu(Conv(self.features, (2, 2), padding=1, dilation=2,
-                               dtype=dt, packed=pk, name="conv4")(resA2))
+        resA = Conv(self.features, (2, 2), padding=1, dilation=2,
+                    dtype=dt, packed=pk, post="leaky", name="conv4")(resA2)
         resA3 = BatchNorm(dtype=dt, packed=pk, name="bn3")(
             resA, use_running_average=not train)
         # packed mode: plain channel concat; conv5 absorbs the resulting
         # three-phase-block layout into its packed kernel (zero reorder)
         concat = jnp.concatenate([resA1, resA2, resA3], -1)
         segs = (("p", self.features),) * 3 if pk else None
-        resA = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
-                               packed_segments=segs, name="conv5")(concat))
+        resA = Conv(self.features, (1, 1), dtype=dt, packed=pk,
+                    packed_segments=segs, post="leaky",
+                    name="conv5")(concat)
         resA = BatchNorm(dtype=dt, packed=pk, name="bn4")(
             resA, use_running_average=not train)
         resA = shortcut + resA
@@ -127,23 +128,24 @@ class UpBlock(nn.Module):
                 upB = Dropout2d(self.dropout_rate, name="dropout2")(upB, deterministic=det)
             segs1 = None
 
-        upE = leaky_relu(Conv(self.features, (3, 3), padding=1, dtype=dt,
-                              packed=pk, packed_segments=segs1,
-                              name="conv1")(upB))
+        upE = Conv(self.features, (3, 3), padding=1, dtype=dt,
+                   packed=pk, packed_segments=segs1, post="leaky",
+                   name="conv1")(upB)
         upE1 = BatchNorm(dtype=dt, packed=pk, name="bn1")(
             upE, use_running_average=not train)
-        upE = leaky_relu(Conv(self.features, (3, 3), padding=2, dilation=2,
-                              dtype=dt, packed=pk, name="conv2")(upE1))
+        upE = Conv(self.features, (3, 3), padding=2, dilation=2,
+                   dtype=dt, packed=pk, post="leaky", name="conv2")(upE1)
         upE2 = BatchNorm(dtype=dt, packed=pk, name="bn2")(
             upE, use_running_average=not train)
-        upE = leaky_relu(Conv(self.features, (2, 2), padding=1, dilation=2,
-                              dtype=dt, packed=pk, name="conv3")(upE2))
+        upE = Conv(self.features, (2, 2), padding=1, dilation=2,
+                   dtype=dt, packed=pk, post="leaky", name="conv3")(upE2)
         upE3 = BatchNorm(dtype=dt, packed=pk, name="bn3")(
             upE, use_running_average=not train)
         concat = jnp.concatenate([upE1, upE2, upE3], -1)
         segs4 = (("p", self.features),) * 3 if pk else None
-        upE = leaky_relu(Conv(self.features, (1, 1), dtype=dt, packed=pk,
-                              packed_segments=segs4, name="conv4")(concat))
+        upE = Conv(self.features, (1, 1), dtype=dt, packed=pk,
+                   packed_segments=segs4, post="leaky",
+                   name="conv4")(concat)
         upE = BatchNorm(dtype=dt, packed=pk, name="bn4")(
             upE, use_running_average=not train)
         if self.drop_out and not pk:

@@ -78,6 +78,53 @@ def _pack_plan(kh: int, kw: int, dil: int, pad_h: int, pad_w: int):
     return khp, kwp, pad_hp, pad_wp, tuple(shifted)
 
 
+@functools.lru_cache(maxsize=256)
+def _fold_entries(entries: tuple, khp: int, kwp: int, n_qi: int,
+                  n_qo: int, kw: int):
+    """Fold a plan's entry list into constant (tap-index, mask) arrays.
+
+    entries: ((kyp, kxp, qi, qo, dy, dx), ...) — for any fixed
+    (kyp, kxp, qi, qo) the source tap (dy, dx) is unique by construction
+    of the phase decomposition, so the packed kernel is a masked GATHER
+    of the original taps, not a scatter.
+
+    Returns numpy (idx [khp, kwp, n_qi, n_qo] into kh·kw flat taps,
+    mask [khp, kwp, n_qi, n_qo] float).
+    """
+    idx = np.zeros((khp, kwp, n_qi, n_qo), np.int32)
+    msk = np.zeros((khp, kwp, n_qi, n_qo), np.float32)
+    for kyp, kxp, qi, qo, dy, dx in entries:
+        assert msk[kyp, kxp, qi, qo] == 0.0, "non-unique tap in pack plan"
+        idx[kyp, kxp, qi, qo] = dy * kw + dx
+        msk[kyp, kxp, qi, qo] = 1.0
+    return idx, msk
+
+
+def _gather_pack(w_seg: jax.Array, idx: np.ndarray, msk: np.ndarray,
+                 kind: str) -> jax.Array:
+    """Assemble one input segment's packed kernel block from the original
+    taps with a constant-index gather (runtime cost: one tiny gather +
+    multiply + reshape — this runs on live parameter values every step,
+    so it must not be a scatter loop: 4k serialized scatter updates
+    measured ~2.7 ms/step before this formulation).
+
+    w_seg [kh, kw, cs, co] → [khp, kwp, n_qi·cs, n_qo·co] with input
+    channel order (qi, c) for kind "p" (phase-major) or (c, qi) for
+    kind "c" (channel-major / PixelShuffle layout).
+    """
+    kh, kw, cs, co = w_seg.shape
+    khp, kwp, n_qi, n_qo = idx.shape
+    wf = w_seg.reshape(kh * kw, cs, co)
+    sel = wf[jnp.asarray(idx.reshape(-1))].reshape(
+        khp, kwp, n_qi, n_qo, cs, co)
+    sel = sel * jnp.asarray(msk, w_seg.dtype)[..., None, None]
+    if kind == "p":
+        out = sel.transpose(0, 1, 2, 4, 3, 5)   # (qi, cs) input-major
+    else:
+        out = sel.transpose(0, 1, 4, 2, 3, 5)   # (cs, qi) channel-major
+    return out.reshape(khp, kwp, n_qi * cs, n_qo * co)
+
+
 def pack_conv_weights(w: jax.Array, dil: int = 1,
                       padding: tuple[int, int] = (1, 1),
                       in_segments: tuple | None = None) -> tuple:
@@ -90,7 +137,7 @@ def pack_conv_weights(w: jax.Array, dil: int = 1,
     phase, the raw conv-output-feeding-PixelShuffle convention). This
     lets callers feed plain jnp.concatenate results — or pixel-shuffle
     inputs with NO data movement at all — because any input channel
-    permutation is absorbed into this compile-side weight scatter.
+    permutation is absorbed into this compile-side weight gather.
 
     Returns (w_packed, ((pad_top, pad_bottom), (pad_left, pad_right))).
     """
@@ -100,22 +147,15 @@ def pack_conv_weights(w: jax.Array, dil: int = 1,
     assert sum(c for _, c in in_segments) == ci, (in_segments, ci)
     khp, kwp, pad_hp, pad_wp, entries = _pack_plan(kh, kw, dil,
                                                    padding[0], padding[1])
-    wp = jnp.zeros((khp, kwp, 4 * ci, 4 * co), w.dtype)
-    for kyp, kxp, (qy, qx), (py, px), dy, dx in entries:
-        qi = qy * 2 + qx
-        qo = (py * 2 + px) * co
-        c0 = 0     # full-res input channel cursor
-        base = 0   # packed input channel cursor
-        for kind, cs in in_segments:
-            wsub = w[dy, dx, c0:c0 + cs]
-            if kind == "p":
-                wp = wp.at[kyp, kxp, base + qi * cs:base + (qi + 1) * cs,
-                           qo:qo + co].set(wsub)
-            else:
-                wp = wp.at[kyp, kxp, base + qi:base + 4 * cs:4,
-                           qo:qo + co].set(wsub)
-            c0 += cs
-            base += 4 * cs
+    folded = tuple((kyp, kxp, qy * 2 + qx, py * 2 + px, dy, dx)
+                   for kyp, kxp, (qy, qx), (py, px), dy, dx in entries)
+    idx, msk = _fold_entries(folded, khp, kwp, 4, 4, kw)
+    parts = []
+    c0 = 0
+    for kind, cs in in_segments:
+        parts.append(_gather_pack(w[:, :, c0:c0 + cs, :], idx, msk, kind))
+        c0 += cs
+    wp = jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
     # packed SAME-equivalent padding: kernel spans rows [ -pad_hp,
     # khp-1-pad_hp ] around each output position
     pads = ((pad_hp, khp - 1 - pad_hp), (pad_wp, kwp - 1 - pad_wp))
@@ -147,7 +187,8 @@ def _pair_plan(kh, kw, dil, padding, ci, co, py):
     return khq, kwq, pads, entries, in_phases
 
 
-def _packed_conv_pairs(xp, w, dil, padding, precision, in_segments):
+def _packed_conv_pairs(xp, w, dil, padding, precision, in_segments,
+                       bias=None, post_fn=None):
     """Pair-phase formulation: two convs, each producing output phases
     (py,0)+(py,1) at 2·co lanes. Executed-FLOP cost vs. the full-res op:
     2× for phase-diagonal kernels (dilation 2, 1×1 — the pair's input
@@ -163,42 +204,46 @@ def _packed_conv_pairs(xp, w, dil, padding, precision, in_segments):
         segs = in_segments or (("p", ci),)
         # slice to a contiguous input phase-block range when possible
         phase_off = 0
+        sliced = False
         if (len(segs) == 1 and segs[0][0] == "p"
                 and in_phases == list(range(in_phases[0],
                                             in_phases[0] + len(in_phases)))
                 and len(in_phases) < 4):
             phase_off = in_phases[0]
+            sliced = True
             x_in = xp[..., phase_off * ci:(in_phases[-1] + 1) * ci]
-        n_in = x_in.shape[-1]
-        wq = jnp.zeros((khq, kwq, n_in, 2 * co), w.dtype)
-        for kyq, kxq, (qy, qx), px, dy, dx in entries:
-            qi = qy * 2 + qx
-            qo = px * co
-            wsub = w[dy, dx]
-            c0 = 0
-            base = 0
-            for kind, cs in segs:
-                ws = wsub[c0:c0 + cs]
-                if kind == "p":
-                    lo = (qi - phase_off) * cs
-                    wq = wq.at[kyq, kxq, base + lo:base + lo + cs,
-                               qo:qo + co].set(ws)
-                else:
-                    wq = wq.at[kyq, kxq, base + qi:base + 4 * cs:4,
-                               qo:qo + co].set(ws)
-                c0 += cs
-                base += 4 * cs if phase_off == 0 else cs * len(in_phases)
-        outs.append(jax.lax.conv_general_dilated(
+        n_qi = len(in_phases) if sliced else 4
+        folded = tuple((kyq, kxq, (qy * 2 + qx) - phase_off, px, dy, dx)
+                       for kyq, kxq, (qy, qx), px, dy, dx in entries)
+        idx, msk = _fold_entries(folded, khq, kwq, n_qi, 2, kw)
+        parts = []
+        c0 = 0
+        for kind, cs in segs:
+            parts.append(_gather_pack(w[:, :, c0:c0 + cs, :], idx, msk,
+                                      kind))
+            c0 += cs
+        wq = jnp.concatenate(parts, axis=2) if len(parts) > 1 else parts[0]
+        y = jax.lax.conv_general_dilated(
             x_in, wq, (1, 1), pads,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=precision))
+            precision=precision)
+        # bias + activation applied per pair conv so they fuse into the
+        # conv epilogue (applied after the concat they form a standalone
+        # full-tensor elementwise pass — measured ~0.36 ms per op at
+        # [8,192,616,256] bf16)
+        if bias is not None:
+            y = y + jnp.tile(bias, 2)
+        if post_fn is not None:
+            y = post_fn(y)
+        outs.append(y)
     return jnp.concatenate(outs, axis=-1)
 
 
 def packed_conv(xp: jax.Array, w: jax.Array, dil: int = 1,
                 padding: tuple[int, int] | None = None,
                 precision=None, in_segments: tuple | None = None,
-                pair_min_co: int | None = None) -> jax.Array:
+                pair_min_co: int | None = None, bias=None,
+                post_fn=None) -> jax.Array:
     """Stride-1 conv on a space-to-depth tensor, exact vs. the full-res op.
 
     xp: [N, H/2, W/2, 4·ci]; w: ORIGINAL full-res kernel [kh, kw, ci, co]
@@ -231,11 +276,16 @@ def packed_conv(xp: jax.Array, w: jax.Array, dil: int = 1,
                                          py)[4]) <= 2 for py in (0, 1)))
     if force_pairs or auto_pairs:
         return _packed_conv_pairs(xp, w, dil, padding, precision,
-                                  in_segments)
+                                  in_segments, bias, post_fn)
     wp, pads = pack_conv_weights(w, dil, padding, in_segments)
-    return jax.lax.conv_general_dilated(
+    y = jax.lax.conv_general_dilated(
         xp, wp, (1, 1), pads,
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    if bias is not None:
+        y = y + jnp.tile(bias, 4)
+    if post_fn is not None:
+        y = post_fn(y)
+    return y
 
 
 def packed_avg_pool_3x3_s2(xp: jax.Array, C: int) -> jax.Array:
@@ -257,23 +307,27 @@ def packed_avg_pool_3x3_s2(xp: jax.Array, C: int) -> jax.Array:
 
 def packed_max_pool_3x3_s2(xp: jax.Array, C: int) -> jax.Array:
     """MaxPool2d(3, stride 2, pad 1) on a packed tensor → unpacked
-    half-res [N, H/2, W/2, C] (full-res output phase (0, 0))."""
+    half-res [N, H/2, W/2, C] (full-res output phase (0, 0)).
+
+    Separable two-pass max: the stride-2 window rows {2Y-1, 2Y, 2Y+1}
+    are the even-row phase at Y plus the odd-row phase at Y and Y-1, so
+    a vertical 3-max costs one read of the input (vs 9 tap reads of the
+    full tensor, which measured 3.3 ms/batch at the stem shape); the
+    horizontal pass repeats the trick on the column phases of the
+    half-height intermediate.
+    """
     N, Hp, Wp, _ = xp.shape
-    # gather the 9 full-res taps of each stride-2 window from packed
-    # neighbors: offsets -1..1 full-res around (2Y, 2X)
-    pads = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                   constant_values=-jnp.inf)
-    def phase(q):  # packed channel block of phase q=(py, px)
-        i = (q[0] * 2 + q[1]) * C
-        return pads[..., i:i + C]
-    taps = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            qy, dyp = (dy & 1), (dy >> 1)
-            qx, dxp = (dx & 1), (dx >> 1)
-            block = phase((qy, qx))
-            taps.append(block[:, 1 + dyp:1 + dyp + Hp, 1 + dxp:1 + dxp + Wp])
-    return functools.reduce(jnp.maximum, taps)
+    neg = -jnp.inf
+    a = xp[..., :2 * C]          # row phase 0 (full-res rows 2Y)
+    b = xp[..., 2 * C:]          # row phase 1 (rows 2Y+1)
+    b_up = jnp.pad(b, ((0, 0), (1, 0), (0, 0), (0, 0)),
+                   constant_values=neg)[:, :Hp]          # rows 2Y-1
+    v = jnp.maximum(jnp.maximum(a, b), b_up)  # [N, Hp, Wp, 2C] col phases
+    q0 = v[..., :C]              # cols 2X
+    q1 = v[..., C:]              # cols 2X+1
+    q1_left = jnp.pad(q1, ((0, 0), (0, 0), (1, 0), (0, 0)),
+                      constant_values=neg)[:, :, :Wp]    # cols 2X-1
+    return jnp.maximum(jnp.maximum(q0, q1), q1_left)
 
 
 def pixel_shuffle_to_packed(x: jax.Array) -> jax.Array:

@@ -13,9 +13,17 @@ fuses the expensive parts on-chip:
   grid (batch, image_row); per step, one double-buffered DMA pulls the
   row's candidate range of the pixel-sorted winner array into VMEM
   (winners are unique per pixel, so a row owns ≤W consecutive entries),
-  then each 128-column tile builds its [128 cand × 128 col] one-hot in
+  then each 128-column tile builds its [128 col × 128 cand] one-hot in
   registers and places features with one small MXU dot — no HBM one-hot,
   no per-update serialization.
+
+TPU layout notes: the winner array travels channel-major [C, N] so the
+point dim rides the 128-lane axis — HBM DMA slices must be 128-aligned
+on lanes, so the row window is fetched from a 128-aligned base and each
+tile's exact offset is recovered in-register with a dynamic lane roll
+(`pltpu.roll`). The one-hot is built transposed ([col, cand], both from
+lane vectors broadcast along sublanes) so no in-kernel transposes are
+needed; the dot contracts the shared lane axis.
 
 Output-equivalent to `zbuffer_scatter_packed` + `fill_canvas` (same
 depth quantization, same stable lowest-index tie-break).
@@ -33,14 +41,14 @@ _TILE = 128
 
 
 def _prep_sorted_winners(rows, cols, depth, keep, values, H, W,
-                         depth_quant, scap):
+                         depth_quant, wlen):
     """XLA-side prep for ONE sample: stable two-key sort (pixel,
     quantized depth) resolves winners; a second sort compacts winners to
     the front ordered by pixel; one small scatter-min + suffix-min gives
     per-128-col-tile segment starts.
 
-    Returns (data [N+scap, 2+F] f32 — col, occupancy, features —,
-    tile_start [H*ntw+1] int32).
+    Returns (data [C=2+F, Npad] f32 channel-major — col, occupancy,
+    features —, tile_start [H*ntw+1] int32).
     """
     N, F = values.shape
     ntw = -(-W // _TILE)
@@ -74,14 +82,13 @@ def _prep_sorted_winners(rows, cols, depth, keep, values, H, W,
                                           reverse=True)
 
     data = jnp.stack([wcol, jnp.ones((N,), jnp.float32)] + list(wvals),
-                     axis=1)
-    data = jnp.pad(data, ((0, scap), (0, 0)), constant_values=-1.0)
+                     axis=0)  # [C, N]
+    npad = -(-(N + wlen) // _TILE) * _TILE - N
+    data = jnp.pad(data, ((0, 0), (0, npad)), constant_values=-1.0)
     return data, tile_start
 
 
-def _make_kernel(B, H, ntw, C, scap):
-    T = H * ntw
-
+def _make_kernel(B, H, ntw, C, wlen):
     def kernel(ts_ref, data_ref, out_ref, scratch, sems):
         b = pl.program_id(0)
         r = pl.program_id(1)
@@ -90,9 +97,9 @@ def _make_kernel(B, H, ntw, C, scap):
         nxt = jax.lax.rem(lin + 1, 2)
 
         def dma(bb, rr, sl):
-            start = ts_ref[bb, rr * ntw]
+            base = (ts_ref[bb, rr * ntw] // _TILE) * _TILE
             return pltpu.make_async_copy(
-                data_ref.at[bb, pl.ds(start, scap), :],
+                data_ref.at[bb, :, pl.ds(base, wlen)],
                 scratch.at[sl], sems.at[sl])
 
         @pl.when(lin == 0)
@@ -107,21 +114,28 @@ def _make_kernel(B, H, ntw, C, scap):
 
         dma(b, r, slot).wait()
 
-        s_row = ts_ref[b, r * ntw]
+        base = (ts_ref[b, r * ntw] // _TILE) * _TILE
+        window = scratch[slot]                     # [C, wlen]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _TILE), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
         for t in range(ntw):
             s_t = ts_ref[b, r * ntw + t]
             e_t = ts_ref[b, r * ntw + t + 1]
-            o_t = s_t - s_row
-            blk = scratch[slot, pl.ds(o_t, _TILE), :]       # [128, C]
-            ci = blk[:, 0:1].astype(jnp.int32) - t * _TILE  # [128, 1]
-            kv = jax.lax.broadcasted_iota(
-                jnp.int32, (_TILE, 1), 0) < (e_t - s_t)
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1)
-            onehot = ((ci == lanes) & kv).astype(jnp.float32)
-            # [C-1(f), 128(j)] = vals[k, f]ᵀ · onehot[k, j]; each output
-            # pixel has ≤1 contributor so f32 accumulation is exact
+            lo = s_t - base
+            # candidates lo..lo+127 → lanes 0..127 (circular junk beyond
+            # the segment is masked by the count test below); positive
+            # equivalent shift wlen-lo avoids dynamic negative amounts
+            rolled = pltpu.roll(window, wlen - lo, 1)
+            vals = rolled[:, :_TILE]               # [C, 128] cand-major
+            ci = vals[0:1, :].astype(jnp.int32) - t * _TILE  # [1, 128]
+            kv = lane < (e_t - s_t)
+            # transposed one-hot [col(sub), cand(lane)] — built straight
+            # from lane vectors, no relayout
+            oht = ((ci == sub) & kv).astype(jnp.float32)
+            # [C, 128 cols] = vals[c, k] · oht[j, k]ᵀ; ≤1 contributor per
+            # output column so f32 accumulation is exact
             res = jax.lax.dot_general(
-                blk[:, 1:], onehot, (((0,), (0,)), ((), ())),
+                vals, oht, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             out_ref[0, 0, :, t * _TILE:(t + 1) * _TILE] = res
@@ -142,35 +156,35 @@ def rasterize_zbuffer_pallas(rows, cols, depth, keep, values, H: int,
     """
     B, N, F = values.shape
     ntw = -(-W // _TILE)
-    T = H * ntw
     C = 2 + F
-    scap = ntw * _TILE + _TILE
+    # row window: ≤W winners + ≤127 base-alignment slack, lane-rounded
+    wlen = -(-(ntw * _TILE + 2 * _TILE) // _TILE) * _TILE
 
     data, tile_start = jax.vmap(
         lambda r, c, d, k, v: _prep_sorted_winners(
-            r, c, d, k, v, H, W, depth_quant, scap)
+            r, c, d, k, v, H, W, depth_quant, wlen)
     )(rows, cols, depth, keep, values)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, 1, C - 1, ntw * _TILE),
+        out_specs=pl.BlockSpec((1, 1, C, ntw * _TILE),
                                lambda b, r, *_: (b, r, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, scap, C), jnp.float32),
+            pltpu.VMEM((2, C, wlen), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(B, H, ntw, C, scap),
-        out_shape=jax.ShapeDtypeStruct((B, H, C - 1, ntw * _TILE),
+        _make_kernel(B, H, ntw, C, wlen),
+        out_shape=jax.ShapeDtypeStruct((B, H, C, ntw * _TILE),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_start, data)
 
-    canvas = jnp.moveaxis(out, 2, 3)[:, :, :W]   # [B, H, W, C-1]
-    mask = canvas[..., 0] > 0.5
-    return canvas[..., 1:], mask
+    canvas = jnp.moveaxis(out, 2, 3)[:, :, :W]   # [B, H, W, C]
+    mask = canvas[..., 1] > 0.5
+    return canvas[..., 2:], mask
