@@ -102,9 +102,10 @@ def bench_train(jax, jnp, model, variables, args):
     @jax.jit
     def train_iter(state, key, points, labels, valid, proj_matrix, image,
                    ih, iw):
-        f, m, l = build_batch(key, points, labels, valid, proj_matrix,
-                              image, ih, iw, cfg, True)
-        return step(state, f, l, key)
+        f, m, l, pts = build_batch(key, points, labels, valid, proj_matrix,
+                                   image, ih, iw, cfg, True,
+                                   return_points=True)
+        return step(state, f, l, key, pts)
 
     key = jax.random.PRNGKey(0)
     state, aux = train_iter(state, key, *args)

@@ -348,23 +348,29 @@ def _resolve_fill(cfg: PVConfig) -> str:
     return "scatter"
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "train"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "train", "return_points"))
 def build_batch(key, points, labels, valid, proj_matrix, images,
-                img_h, img_w, cfg: PVConfig, train: bool):
+                img_h, img_w, cfg: PVConfig, train: bool,
+                return_points: bool = False):
     """Batched end-to-end preprocessing: project, scatter, 2D-augment,
     normalize. All inputs carry a leading batch dim.
 
     Returns (feature [B,H,W,8] normalized, mask [B,H,W] bool,
-    label [B,H,W] int32).
+    label [B,H,W] int32). With return_points=True a fourth element
+    (pt_pix [B,N], pt_label [B,N], pt_won [B,N]) rides along — the flat
+    winner pixel per point (H·W sentinel when invalid) for the
+    point-domain Lovász (losses/lovasz.py lovasz_softmax_loss_points).
     """
+    from ..ops.scatter import point_winner_flags
+
     B = points.shape[0]
     keys = jax.random.split(key, B)
+    out_h, out_w = (cfg.proj_ht, cfg.proj_wt) if train \
+        else (cfg.proj_h, cfg.proj_w)
 
     if _resolve_fill(cfg) == "pallas":
         from ..ops.pallas.tile_fill import rasterize_zbuffer_pallas
-
-        out_h, out_w = (cfg.proj_ht, cfg.proj_wt) if train \
-            else (cfg.proj_h, cfg.proj_w)
 
         def geom(k, pts, lab, val, P, img, ih, iw):
             if train and cfg.pcd_aug:
@@ -378,17 +384,32 @@ def build_batch(key, points, labels, valid, proj_matrix, images,
                                                 vals, out_h, out_w)
         lab = jnp.round(canvas[..., 5]).astype(jnp.int32)
         feature = jnp.concatenate([canvas[..., :5], rgb], axis=-1)
-        return normalize_feature(feature, mask, cfg), mask, lab
+        if not return_points:
+            return normalize_feature(feature, mask, cfg), mask, lab
+        pix, won = jax.vmap(
+            lambda r, c, d, k_: point_winner_flags(r, c, d, k_,
+                                                   out_h, out_w)
+        )(rows, cols, depth, keep)
+        return (normalize_feature(feature, mask, cfg), mask, lab,
+                (pix, labels.astype(jnp.int32), won))
 
     def one(k, pts, lab, val, P, img, ih, iw):
         if train and cfg.pcd_aug:
             pts = augment_pointcloud(k, pts, cfg.augment)
-        f, m, l, *_ = _build_view(jax.random.fold_in(k, 1), pts, lab, val,
-                                  P, img, ih, iw, cfg, train)
-        return normalize_feature(f, m, cfg), m, l
+        f, m, l, rows, cols, keep, depth = _build_view(
+            jax.random.fold_in(k, 1), pts, lab, val,
+            P, img, ih, iw, cfg, train)
+        if not return_points:
+            return normalize_feature(f, m, cfg), m, l
+        pix, won = point_winner_flags(rows, cols, depth, keep, out_h, out_w)
+        return normalize_feature(f, m, cfg), m, l, pix, won
 
-    return jax.vmap(one)(keys, points, labels, valid, proj_matrix, images,
-                         img_h, img_w)
+    if not return_points:
+        return jax.vmap(one)(keys, points, labels, valid, proj_matrix,
+                             images, img_h, img_w)
+    f, m, l, pix, won = jax.vmap(one)(keys, points, labels, valid,
+                                      proj_matrix, images, img_h, img_w)
+    return f, m, l, (pix, labels.astype(jnp.int32), won)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -210,41 +210,72 @@ def _bilinear_sample(image, rows, cols, img_h, img_w):
     return jnp.where(inside[..., None], out, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "train"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "train", "return_points"))
 def build_v2_batch(key, points, labels, valid, proj_matrix, images,
-                   img_h, img_w, cfg: V2Config, train: bool, fovs=None):
-    """Batched V2 preprocessing → (feature [B,H,W,8], mask, label)."""
+                   img_h, img_w, cfg: V2Config, train: bool, fovs=None,
+                   return_points: bool = False):
+    """Batched V2 preprocessing → (feature [B,H,W,8], mask, label).
+
+    return_points=True appends (pt_pix, pt_label, pt_won) [B, N] for the
+    point-domain Lovász (see perspective_pipeline.build_batch).
+    """
+    from ..ops.scatter import point_winner_flags
+
     B = points.shape[0]
     keys = jax.random.split(key, B)
+    out_h, out_w = (cfg.proj_ht, cfg.proj_wt) if train \
+        else (cfg.proj_h, cfg.proj_w)
 
     if fovs is None:
         fovs = jnp.tile(jnp.asarray([[cfg.fov_left, cfg.fov_right]],
                                     jnp.float32), (B, 1))
 
     def one(k, pts, lab, val, P, img, ih, iw, fov):
-        f, m, l, *_ = build_v2_sample(k, pts, lab, val, P, img, ih, iw,
-                                      cfg, train, fov)
-        return f, m, l
+        f, m, l, rows, cols, keep, depth = build_v2_sample(
+            k, pts, lab, val, P, img, ih, iw, cfg, train, fov)
+        if not return_points:
+            return f, m, l
+        pix, won = point_winner_flags(rows, cols, depth, keep, out_h, out_w)
+        return f, m, l, pix, won
 
-    return jax.vmap(one)(keys, points, labels, valid, proj_matrix, images,
-                         img_h, img_w, fovs)
+    out = jax.vmap(one)(keys, points, labels, valid, proj_matrix, images,
+                        img_h, img_w, fovs)
+    if not return_points:
+        return out
+    f, m, l, pix, won = out
+    return f, m, l, (pix, labels.astype(jnp.int32), won)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "train"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "train", "return_points"))
 def build_v2_batch_pix(key, points, labels, valid, rows, cols, images,
-                       img_h, img_w, cfg: V2Config, train: bool):
+                       img_h, img_w, cfg: V2Config, train: bool,
+                       return_points: bool = False):
     """Batched V2 preprocessing over precomputed pixel indices (A2D2)."""
+    from ..ops.scatter import point_winner_flags
+
     B = points.shape[0]
     keys = jax.random.split(key, B)
     dummy_P = jnp.zeros((B, 3, 4), jnp.float32)
+    out_h, out_w = (cfg.proj_ht, cfg.proj_wt) if train \
+        else (cfg.proj_h, cfg.proj_w)
 
     def one(k, pts, lab, val, P, img, ih, iw, r, c):
-        f, m, l, *_ = build_v2_sample(k, pts, lab, val, P, img, ih, iw,
-                                      cfg, train, pix=(r, c))
-        return f, m, l
+        f, m, l, rows_o, cols_o, keep, depth = build_v2_sample(
+            k, pts, lab, val, P, img, ih, iw, cfg, train, pix=(r, c))
+        if not return_points:
+            return f, m, l
+        pxi, won = point_winner_flags(rows_o, cols_o, depth, keep,
+                                      out_h, out_w)
+        return f, m, l, pxi, won
 
-    return jax.vmap(one)(keys, points, labels, valid, dummy_P, images,
-                         img_h, img_w, rows, cols)
+    out = jax.vmap(one)(keys, points, labels, valid, dummy_P, images,
+                        img_h, img_w, rows, cols)
+    if not return_points:
+        return out
+    f, m, l, pix, won = out
+    return f, m, l, (pix, labels.astype(jnp.int32), won)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -1,5 +1,5 @@
 from .focal import focal_softmax_loss, FocalSoftmaxLoss
-from .lovasz import lovasz_softmax_loss
+from .lovasz import lovasz_softmax_loss, lovasz_softmax_loss_points
 from .kl import kl_div
 from .perception_aware import (perception_aware_loss,
     perception_aware_losses, normalized_entropy)
@@ -12,6 +12,7 @@ __all__ = [
     "focal_softmax_loss",
     "FocalSoftmaxLoss",
     "lovasz_softmax_loss",
+    "lovasz_softmax_loss_points",
     "kl_div",
     "perception_aware_loss",
     "perception_aware_losses",

@@ -63,6 +63,39 @@ def zbuffer_scatter_packed(rows: jax.Array, cols: jax.Array, depth: jax.Array,
     return winner, mask
 
 
+def point_winner_flags(rows: jax.Array, cols: jax.Array, depth: jax.Array,
+                       keep: jax.Array, H: int, W: int,
+                       depth_quant: float = 1.0 / 64.0):
+    """Per-point (flat pixel index, did-this-point-win) flags.
+
+    Same packed-key z-test as `zbuffer_scatter_packed` (quantized depth,
+    lowest-index tie-break), so `won` is consistent with the canvas both
+    fill paths produce: the set {points with won & label != ignore}
+    maps 1:1 onto the canvas pixels with label != ignore.
+
+    Returns (pix [N] int32 in [0, H*W] — H*W = invalid sentinel,
+    won [N] bool).
+    """
+    N = depth.shape[0]
+    nbits = max(int(np.ceil(np.log2(max(N, 2)))), 1)
+    depth_bits = 31 - nbits
+    assert depth_bits >= 10, f"too many points for packed z-buffer: {N}"
+    max_q = (1 << depth_bits) - 1
+
+    r = jnp.clip(rows.astype(jnp.int32), 0, H - 1)
+    c = jnp.clip(cols.astype(jnp.int32), 0, W - 1)
+    pix = jnp.where(keep, r * W + c, H * W)
+
+    dq = jnp.clip(depth.astype(jnp.float32) / depth_quant, 0, max_q)
+    dq = dq.astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    key = jnp.where(keep, (dq << nbits) | idx, _IMAX)
+
+    key_img = jnp.full((H * W + 1,), _IMAX, jnp.int32).at[pix].min(key)
+    won = keep & (key_img[pix] == key)
+    return pix, won
+
+
 def zbuffer_scatter(rows: jax.Array, cols: jax.Array, depth: jax.Array,
                     keep: jax.Array, H: int, W: int):
     """Resolve per-pixel winning point indices with a depth z-buffer.

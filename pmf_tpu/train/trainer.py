@@ -376,25 +376,41 @@ class Trainer:
         elif self.use_v2 and self.use_pix:
             from ..data.perspective_pipeline_v2 import build_v2_batch_pix
 
-            f, m, l = build_v2_batch_pix(
+            out = build_v2_batch_pix(
                 key, sharded["points"], sharded["labels"], sharded["valid"],
                 sharded["rows"], sharded["cols"], sharded["image"],
-                sharded["img_h"], sharded["img_w"], self.v2_cfg, train)
+                sharded["img_h"], sharded["img_w"], self.v2_cfg, train,
+                return_points=train)
+            if train:
+                f, m, l, points = out
+                return f, l, points
+            f, m, l = out
         elif self.use_v2:
-            f, m, l = build_v2_batch(
+            out = build_v2_batch(
                 key, sharded["points"], sharded["labels"], sharded["valid"],
                 sharded["proj_matrix"], sharded["image"], sharded["img_h"],
-                sharded["img_w"], self.v2_cfg, train)
+                sharded["img_w"], self.v2_cfg, train, return_points=train)
+            if train:
+                f, m, l, points = out
+                return f, l, points
+            f, m, l = out
         elif self.is_fusion:
-            f, m, l = build_batch(
+            # train mode also returns per-point winner info so the step
+            # can run the point-domain Lovász (sort over winner points
+            # instead of all pixels)
+            out = build_batch(
                 key, sharded["points"], sharded["labels"], sharded["valid"],
                 sharded["proj_matrix"], sharded["image"], sharded["img_h"],
-                sharded["img_w"], self.pv_cfg, train)
+                sharded["img_w"], self.pv_cfg, train, return_points=train)
+            if train:
+                f, m, l, points = out
+                return f, l, points
+            f, m, l = out
         else:
             f, l, m = build_range_batch(
                 key, sharded["points"], sharded["labels"], sharded["valid"],
                 self.range_cfg, train)
-        return f, l
+        return f, l, None
 
     # ------------------------------------------------------------- run
     def run(self, epoch: int, mode: str = "Train") -> dict:
@@ -415,9 +431,14 @@ class Trainer:
                 jax.profiler.start_trace(profile_dir)
             t_proc = time.time()
             self._key, kp, kd = jax.random.split(self._key, 3)
-            feature, label = self._device_batch(batch, train, kp)
+            feature, label, points = self._device_batch(batch, train, kp)
             if train:
-                self.state, aux = self.train_step(self.state, feature, label, kd)
+                if points is not None:
+                    self.state, aux = self.train_step(
+                        self.state, feature, label, kd, points)
+                else:
+                    self.state, aux = self.train_step(self.state, feature,
+                                                      label, kd)
             else:
                 aux, _ = self.eval_step(self.state, feature, label,
                                         jnp.asarray(batch["batch_valid"]))

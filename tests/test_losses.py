@@ -263,3 +263,88 @@ def test_lovasz_gradient_matches_reference_semantics():
         grad_np[:, c] = -np.sign(fg - probs[:, c]) * keep * w
     grad_np /= len(present)
     np.testing.assert_allclose(g, grad_np, rtol=1e-3, atol=1e-5)
+
+
+# ------------------------------------------------- point-domain lovasz
+def test_lovasz_points_matches_full_image():
+    """lovasz_softmax_loss_points on rasterizer winner points must equal
+    the full-image loss (value AND gradient) — every non-ignored canvas
+    pixel is exactly one winner point's pixel."""
+    from pmf_tpu.losses import lovasz_softmax_loss_points
+    from pmf_tpu.ops.scatter import (fill_canvas, point_winner_flags,
+                                     zbuffer_scatter_packed)
+
+    rng = np.random.default_rng(3)
+    B, N, H, W, C = 2, 300, 16, 24, 5
+    rows = jnp.asarray(rng.integers(-2, H + 2, (B, N)).astype(np.int32))
+    cols = jnp.asarray(rng.integers(-2, W + 2, (B, N)).astype(np.int32))
+    depth = jnp.asarray(rng.uniform(1, 50, (B, N)).astype(np.float32))
+    keep = ((rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
+            & jnp.asarray(rng.random((B, N)) > 0.1))
+    labels = jnp.asarray(rng.integers(0, C, (B, N)).astype(np.int32))
+
+    # rasterize the label canvas the way build_batch does
+    def raster(r, c, d, k, lab):
+        winner, mask = zbuffer_scatter_packed(r, c, d, k, H, W)
+        canvas = fill_canvas(lab[:, None].astype(jnp.float32), r, c, k,
+                             winner, mask)
+        return canvas[..., 0].astype(jnp.int32)
+
+    label_img = jax.vmap(raster)(rows, cols, depth, keep, labels)
+    pix, won = jax.vmap(
+        lambda r, c, d, k: point_winner_flags(r, c, d, k, H, W)
+    )(rows, cols, depth, keep)
+
+    logits = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+
+    full, g_full = jax.value_and_grad(
+        lambda p: lovasz_softmax_loss(p, label_img, ignore=0))(probs)
+    pts, g_pts = jax.value_and_grad(
+        lambda p: lovasz_softmax_loss_points(p, label_img, pix, labels,
+                                             won, ignore=0))(probs)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(pts),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_pts),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_build_batch_return_points_consistent():
+    """The returned point info must reproduce the canvas labels: placing
+    each winner's label at its pixel equals the label image."""
+    from pmf_tpu.data import PVConfig, build_batch
+
+    rng = np.random.default_rng(0)
+    B, N = 2, 512
+    H, W = 32, 48
+    pts = np.zeros((B, N, 4), np.float32)
+    pts[..., 0] = rng.uniform(2, 70, (B, N))
+    pts[..., 1] = rng.uniform(-20, 20, (B, N))
+    pts[..., 2] = rng.uniform(-2, 1, (B, N))
+    pts[..., 3] = rng.uniform(0, 1, (B, N))
+    labels = rng.integers(0, 20, (B, N)).astype(np.int32)
+    valid = np.ones((B, N), bool)
+    fx = 40.0
+    proj = np.tile(np.array(
+        [[fx, -fx, 0, W * fx / 2], [0, 0, -fx, H * fx / 2], [1, 0, 0, 0]],
+        np.float32)[None], (B, 1, 1))
+    image = rng.random((B, H, W, 3)).astype(np.float32)
+    img_h = np.full((B,), H, np.int32)
+    img_w = np.full((B,), W, np.int32)
+    cfg = PVConfig(canvas_h=H, canvas_w=W, proj_h=H, proj_w=W,
+                   n_points=N)
+
+    f, m, l, (pix, plab, won) = build_batch(
+        jax.random.PRNGKey(0), *map(jnp.asarray, (pts, labels, valid,
+                                                  proj, image, img_h,
+                                                  img_w)),
+        cfg, False, return_points=True)
+    l = np.asarray(l)
+    pix, plab, won = map(np.asarray, (pix, plab, won))
+    for b in range(B):
+        placed = np.zeros((H * W,), np.int32)
+        placed[pix[b][won[b]]] = plab[b][won[b]]
+        np.testing.assert_array_equal(placed.reshape(H, W), l[b])
+        # one winner per occupied pixel, none elsewhere
+        assert len(np.unique(pix[b][won[b]])) == won[b].sum()
+        assert won[b].sum() == np.asarray(m)[b].sum()
