@@ -102,6 +102,11 @@ def bench_train(jax, jnp, model, variables, args):
     @jax.jit
     def train_iter(state, key, points, labels, valid, proj_matrix, image,
                    ih, iw):
+        # fold the per-step key INSIDE the jit: an eager fold_in between
+        # dispatches would read state.step back through the relay and
+        # serialize every iteration (measured 638 ms/step vs the true
+        # 74 ms fused step)
+        key = jax.random.fold_in(key, state.step)
         f, m, l, pts = build_batch(key, points, labels, valid, proj_matrix,
                                    image, ih, iw, cfg, True,
                                    return_points=True)
@@ -112,8 +117,7 @@ def bench_train(jax, jnp, model, variables, args):
     np.asarray(aux["loss"])  # compile + warm
     t0 = time.perf_counter()
     for _ in range(N_TRAIN_ITERS):
-        state, aux = train_iter(state, jax.random.fold_in(key, state.step),
-                                *args)
+        state, aux = train_iter(state, key, *args)
     np.asarray(aux["loss"])
     dt = (time.perf_counter() - t0) / N_TRAIN_ITERS
     return BATCH / dt

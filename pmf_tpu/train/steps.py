@@ -153,7 +153,8 @@ def make_pmf_train_step(model, tx, cfg: LossConfig):
 
 def make_pmf_eval_step(model, cfg: LossConfig):
     @jax.jit
-    def eval_step(state: TrainState, feature, label, sample_valid=None):
+    def eval_step(state: TrainState, feature, label, sample_valid=None,
+                  points=None):
         pcd = feature[..., 0:5]
         img = feature[..., 5:8]
         params = state.params
@@ -163,7 +164,8 @@ def make_pmf_eval_step(model, cfg: LossConfig):
         lidar_pred, camera_pred = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             pcd, img, train=False)
-        _, aux = pmf_losses(lidar_pred, camera_pred, label, cfg, mt_sigma)
+        _, aux = pmf_losses(lidar_pred, camera_pred, label, cfg, mt_sigma,
+                            points)
         valid = None
         if sample_valid is not None:
             # final val batches are padded to a full batch (loader); mask

@@ -376,36 +376,27 @@ class Trainer:
         elif self.use_v2 and self.use_pix:
             from ..data.perspective_pipeline_v2 import build_v2_batch_pix
 
-            out = build_v2_batch_pix(
+            f, m, l, points = build_v2_batch_pix(
                 key, sharded["points"], sharded["labels"], sharded["valid"],
                 sharded["rows"], sharded["cols"], sharded["image"],
                 sharded["img_h"], sharded["img_w"], self.v2_cfg, train,
-                return_points=train)
-            if train:
-                f, m, l, points = out
-                return f, l, points
-            f, m, l = out
+                return_points=True)
+            return f, l, points
         elif self.use_v2:
-            out = build_v2_batch(
+            f, m, l, points = build_v2_batch(
                 key, sharded["points"], sharded["labels"], sharded["valid"],
                 sharded["proj_matrix"], sharded["image"], sharded["img_h"],
-                sharded["img_w"], self.v2_cfg, train, return_points=train)
-            if train:
-                f, m, l, points = out
-                return f, l, points
-            f, m, l = out
+                sharded["img_w"], self.v2_cfg, train, return_points=True)
+            return f, l, points
         elif self.is_fusion:
             # train mode also returns per-point winner info so the step
             # can run the point-domain Lovász (sort over winner points
             # instead of all pixels)
-            out = build_batch(
+            f, m, l, points = build_batch(
                 key, sharded["points"], sharded["labels"], sharded["valid"],
                 sharded["proj_matrix"], sharded["image"], sharded["img_h"],
-                sharded["img_w"], self.pv_cfg, train, return_points=train)
-            if train:
-                f, m, l, points = out
-                return f, l, points
-            f, m, l = out
+                sharded["img_w"], self.pv_cfg, train, return_points=True)
+            return f, l, points
         else:
             f, l, m = build_range_batch(
                 key, sharded["points"], sharded["labels"], sharded["valid"],
@@ -423,6 +414,9 @@ class Trainer:
         loss_meter = AverageMeter()
         aux_meters: dict[str, AverageMeter] = {}
         total_iter = len(loader)
+        pending: list = []
+        last_loss = float("nan")
+        drain = lambda: None  # rebound inside the loop (closes over aux)
         t_start = time.time()
 
         profile_dir = self.opts.config.get("profile_dir")
@@ -439,20 +433,35 @@ class Trainer:
                 else:
                     self.state, aux = self.train_step(self.state, feature,
                                                       label, kd)
+            elif points is not None:
+                aux, _ = self.eval_step(self.state, feature, label,
+                                        jnp.asarray(batch["batch_valid"]),
+                                        points)
             else:
                 aux, _ = self.eval_step(self.state, feature, label,
                                         jnp.asarray(batch["batch_valid"]))
 
-            loss = float(aux["loss"])
-            loss_meter.update(loss, feature.shape[0])
-            for k, v in aux.items():
-                if k not in ("loss", "conf", "conf_cam"):
-                    aux_meters.setdefault(k, AverageMeter()).update(
-                        float(v), feature.shape[0])
-            self.metrics.addBatchConf(np.asarray(aux["conf"]))
-            if "conf_cam" in aux:
-                self.metrics_img.addBatchConf(np.asarray(aux["conf_cam"]))
+            # buffer device scalars; fetching them here would sync every
+            # dispatch and stall the pipeline (the fused bs8 train step is
+            # ~74 ms of device work; a per-iter sync was costing more than
+            # the step itself through the relay). Drained at log points.
+            pending.append((aux, feature.shape[0]))
             self._panel_batch = (feature, label)
+
+            def drain():
+                nonlocal last_loss
+                for p_aux, p_bs in pending:
+                    last_loss = float(p_aux["loss"])
+                    loss_meter.update(last_loss, p_bs)
+                    for k, v in p_aux.items():
+                        if k not in ("loss", "conf", "conf_cam"):
+                            aux_meters.setdefault(k, AverageMeter()).update(
+                                float(v), p_bs)
+                    self.metrics.addBatchConf(np.asarray(p_aux["conf"]))
+                    if "conf_cam" in p_aux:
+                        self.metrics_img.addBatchConf(
+                            np.asarray(p_aux["conf_cam"]))
+                pending.clear()
 
             data_t = t_proc - t_start
             proc_t = time.time() - t_proc
@@ -461,6 +470,8 @@ class Trainer:
 
             if self.recorder is not None and (
                     i % 10 == 0 or i == total_iter - 1):
+                drain()
+                loss = last_loss
                 miou, _ = self.metrics.getIoU()
                 macc, _ = self.metrics.getAcc()
                 mrec, _ = self.metrics.getRecall()
@@ -488,6 +499,7 @@ class Trainer:
                 profile_dir = None
             if self.opts.is_debug:
                 break
+        drain()
 
         miou, class_iou = self.metrics.getIoU()
         macc, class_acc = self.metrics.getAcc()

@@ -86,7 +86,10 @@ def main():
                 return (jnp.mean(lidar.astype(jnp.float32))
                         + jnp.mean(cam.astype(jnp.float32)))
             g = jax.grad(loss_fn)(variables["params"])
-            return jax.tree_util.tree_leaves(g)[0].ravel()[0] * 0
+            # force EVERY grad leaf: returning one leaf lets XLA DCE most
+            # of the backward (measured 21 ms vs the honest number)
+            return jax.tree_util.tree_reduce(
+                lambda a, b: a + b.astype(jnp.float32).sum(), g, 0.0) * 0
         return fn
 
     def loss_fwd(acc, lg, l):

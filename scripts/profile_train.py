@@ -87,8 +87,8 @@ def main():
         f, m, l = build_batch(key, a[0] + acc, *a[1:], cfg, True)
         return f[0, 0, 0, 0] * 0
 
-    feat, mask, lab = jax.jit(
-        lambda *a: build_batch(key, *a, cfg, True))(*args)
+    feat, mask, lab, pts = jax.jit(
+        lambda *a: build_batch(key, *a, cfg, True, return_points=True))(*args)
     feat = jax.block_until_ready(feat)
 
     from pmf_tpu.train.steps import pmf_losses
@@ -106,13 +106,13 @@ def main():
                 {"params": params, "batch_stats": state.batch_stats},
                 f[..., :5] + acc, f[..., 5:8], train=True,
                 rngs={"dropout": key}, mutable=["batch_stats"])
-            total, aux = pmf_losses(lidar, cam, l, loss_cfg)
+            total, aux = pmf_losses(lidar, cam, l, loss_cfg, points=pts)
             return total, (aux, upd)
         (tl, _), g = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return tl * 0
 
     def full(acc, f, l):
-        st, aux = step(state, f + acc * 0, l, key)
+        st, aux = step(state, f + acc * 0, l, key, pts)
         return aux["loss"] * 0
 
     table = {"preproc": (preproc, args),
