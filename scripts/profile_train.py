@@ -109,11 +109,17 @@ def main():
             total, aux = pmf_losses(lidar, cam, l, loss_cfg, points=pts)
             return total, (aux, upd)
         (tl, _), g = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        return tl * 0
+        # depend on every grad leaf — otherwise XLA DCEs the whole backward
+        gdep = sum(x.ravel()[0].astype(jnp.float32)
+                   for x in jax.tree_util.tree_leaves(g))
+        return tl * 0 + gdep * 0
 
     def full(acc, f, l):
         st, aux = step(state, f + acc * 0, l, key, pts)
-        return aux["loss"] * 0
+        # depend on the updated params — otherwise backward+optimizer DCE
+        sdep = sum(x.ravel()[0].astype(jnp.float32)
+                   for x in jax.tree_util.tree_leaves(st.params))
+        return aux["loss"] * 0 + sdep * 0
 
     table = {"preproc": (preproc, args),
              "fwd": (fwd, (feat, lab)),
