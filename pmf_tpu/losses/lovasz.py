@@ -70,11 +70,15 @@ def lovasz_softmax_loss(probs: jax.Array, labels: jax.Array,
     # second sort keyed by the permutation (sorts are fast on TPU,
     # scatters are not); the loss is then an elementwise dot.
     def weights(err):
+        # fg is {0,1}: pack (position, fg) into ONE int32 payload so the
+        # big sort carries 2 operands instead of 3 (sort cost scales with
+        # operand bytes; P*2 < 2^31 always holds for our canvases).
         idx = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.int32, (1, P), 1), err.shape)
-        _, fg_sorted, perm = jax.lax.sort((-err, fg, idx), num_keys=1)
-        grad = _lovasz_grad_batched(fg_sorted)
-        _, g_unsorted = jax.lax.sort((perm, grad), num_keys=1)
+        packed = idx * 2 + fg.astype(jnp.int32)
+        _, packed_s = jax.lax.sort((-err, packed), num_keys=1)
+        grad = _lovasz_grad_batched((packed_s & 1).astype(jnp.float32))
+        _, g_unsorted = jax.lax.sort((packed_s >> 1, grad), num_keys=1)
         return g_unsorted
 
     g = jax.lax.stop_gradient(weights(err))
@@ -116,7 +120,7 @@ def lovasz_softmax_loss_points(probs: jax.Array, labels_img: jax.Array,
       pt_won: [B, N] winner flags.
       ignore: label id excluded (None disables).
     """
-    from ..ops.scatter import rasterize_zbuffer
+    from ..ops.scatter import rasterize_unique
 
     B, H, W, C = probs.shape
     HW = H * W
@@ -137,18 +141,20 @@ def lovasz_softmax_loss_points(probs: jax.Array, labels_img: jax.Array,
     P = B * N
     errT = err.reshape(P, C).T                               # [C, P]
     fgT = fg.reshape(P, C).T
+    # pack (position, fg) into one int32 payload — 2 sort operands, not 3
     idx = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (1, P), 1), errT.shape)
-    _, fg_sorted, perm = jax.lax.sort((-errT, fgT, idx), num_keys=1)
-    grad = _lovasz_grad_batched(fg_sorted)
-    _, g_unsorted = jax.lax.sort((perm, grad), num_keys=1)
+    packed = idx * 2 + fgT.astype(jnp.int32)
+    _, packed_s = jax.lax.sort((-errT, packed), num_keys=1)
+    grad = _lovasz_grad_batched((packed_s & 1).astype(jnp.float32))
+    _, g_unsorted = jax.lax.sort((packed_s >> 1, grad), num_keys=1)
     w_pts = jax.lax.stop_gradient(
         g_unsorted.T.reshape(B, N, C) * okf[..., None])      # [B, N, C]
 
-    # --- rasterize weights back to the image (unique winner per pixel)
+    # --- rasterize weights back to the image (unique winner per pixel,
+    # so the single-sort unique rasterizer applies)
     w_img, _ = jax.vmap(
-        lambda pix, k, v: rasterize_zbuffer(
-            pix // W, pix % W, jnp.zeros((N,), jnp.float32), k, v, H, W)
+        lambda pix, k, v: rasterize_unique(pix, k, v, H, W)
     )(pt_pix, ok, w_pts)
     w_img = jax.lax.stop_gradient(w_img)                     # [B, H, W, C]
 

@@ -221,8 +221,17 @@ def rasterize_zbuffer(rows: jax.Array, cols: jax.Array, depth: jax.Array,
     # 2. compact winners to the front, ordered by pixel
     key2 = jnp.where(won, spix, i32max)
     ops2 = jax.lax.sort([key2, scol] + list(svals), num_keys=1)
-    wpix, wcol = ops2[0], ops2[1]
-    wvals = ops2[2:]
+    return _place_pixel_sorted(ops2[0], ops2[1], ops2[2:], H, W, tile)
+
+
+def _place_pixel_sorted(wpix, wcol, wvals, H: int, W: int, tile: int):
+    """Steps 3-5 of the sorted-winner tile rasterizer: given winner rows
+    sorted by flat pixel (unique pixels; tail = int32-max sentinels),
+    place them on the [H, W] canvas via per-tile one-hot matmuls."""
+    N = wpix.shape[0]
+    F = len(wvals)
+    ntw = -(-W // tile)  # ceil
+    T = H * ntw
 
     # 3. per-tile start positions (winners are pixel-sorted, and tile id
     # is monotone in pixel, so each tile owns one contiguous segment)
@@ -262,6 +271,25 @@ def rasterize_zbuffer(rows: jax.Array, cols: jax.Array, depth: jax.Array,
     canvas = tiles_out.reshape(H, ntw * tile, 1 + F)[:, :W]
     mask = canvas[..., 0] > 0.5
     return canvas[..., 1:], mask
+
+
+def rasterize_unique(pix: jax.Array, ok: jax.Array, values: jax.Array,
+                     H: int, W: int, tile: int = 128):
+    """Rasterize rows whose `ok` pixels are already unique (pre-resolved
+    z-buffer winners, e.g. from `point_winner_flags`): one pixel sort +
+    tile placement — skips `rasterize_zbuffer`'s winner-resolution sort.
+
+    Args: pix [N] flat pixel ids (H*W sentinel allowed), ok [N] bool,
+          values [N, F] f32.
+    Returns: (canvas [H, W, F] f32, mask [H, W] bool).
+    """
+    N, F = values.shape
+    i32max = jnp.int32(2**31 - 1)
+    key = jnp.where(ok, pix, i32max)
+    colf = (pix % W).astype(jnp.float32)
+    ops = jax.lax.sort([key, colf] + [values[:, f] for f in range(F)],
+                       num_keys=1)
+    return _place_pixel_sorted(ops[0], ops[1], ops[2:], H, W, tile)
 
 
 def scatter_to_image(values: jax.Array, winner_idx: jax.Array,

@@ -50,7 +50,7 @@ def main():
                                 lovasz_softmax_loss_points,
                                 normalized_entropy,
                                 perception_aware_losses)
-    from pmf_tpu.ops.scatter import rasterize_zbuffer
+    from pmf_tpu.ops.scatter import rasterize_unique, rasterize_zbuffer
     from pmf_tpu.train import LossConfig
     from pmf_tpu.train.steps import pmf_losses
 
@@ -93,8 +93,10 @@ def main():
         fgT = fg.reshape(P, C).T
         idx = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.int32, (1, P), 1), errT.shape)
-        _, fg_s, perm = jax.lax.sort((-errT, fgT, idx), num_keys=1)
-        _, g_uns = jax.lax.sort((perm, fg_s), num_keys=1)
+        packed = idx * 2 + fgT.astype(jnp.int32)
+        _, packed_s = jax.lax.sort((-errT, packed), num_keys=1)
+        fg_s = (packed_s & 1).astype(jnp.float32)
+        _, g_uns = jax.lax.sort((packed_s >> 1, fg_s), num_keys=1)
         return g_uns[0, 0] * 0
 
     def pts_raster(acc, v):
@@ -102,6 +104,12 @@ def main():
             lambda px, k, vv: rasterize_zbuffer(
                 px // WT, px % WT, jnp.zeros((N,), jnp.float32), k, vv,
                 HT, WT))(pix, won, v + acc)
+        return out[0, 0, 0, 0] * 0
+
+    def pts_raster_uniq(acc, v):
+        out, _ = jax.vmap(
+            lambda px, k, vv: rasterize_unique(px, k, vv, HT, WT)
+        )(pix, won, v + acc)
         return out[0, 0, 0, 0] * 0
 
     def pts_lovasz(acc, p):
@@ -136,6 +144,7 @@ def main():
 
     table = {"pts_sort": (pts_sort, (probs, limg)),
              "pts_raster": (pts_raster, (wvals,)),
+             "pts_raster_uniq": (pts_raster_uniq, (wvals,)),
              "pts_lovasz": (pts_lovasz, (probs,)),
              "full_lovasz": (full_lovasz, (probs,)),
              "focal": (focal, (probs,)),
