@@ -1,5 +1,6 @@
 from .focal import focal_softmax_loss, FocalSoftmaxLoss
-from .lovasz import lovasz_softmax_loss, lovasz_softmax_loss_points
+from .lovasz import (lovasz_softmax_loss, lovasz_softmax_loss_points,
+                     lovasz_softmax_loss_points_pair)
 from .kl import kl_div
 from .perception_aware import (perception_aware_loss,
     perception_aware_losses, normalized_entropy)
@@ -13,6 +14,7 @@ __all__ = [
     "FocalSoftmaxLoss",
     "lovasz_softmax_loss",
     "lovasz_softmax_loss_points",
+    "lovasz_softmax_loss_points_pair",
     "kl_div",
     "perception_aware_loss",
     "perception_aware_losses",

@@ -88,6 +88,75 @@ def lovasz_softmax_loss(probs: jax.Array, labels: jax.Array,
     return (per_class * present).sum() / jnp.maximum(present.sum(), 1.0)
 
 
+def lovasz_softmax_loss_points_pair(
+        probs_a: jax.Array, probs_b: jax.Array, labels_img: jax.Array,
+        pt_pix: jax.Array, pt_label: jax.Array, pt_won: jax.Array,
+        ignore: int | None = 0) -> tuple[jax.Array, jax.Array]:
+    """Two-stream `lovasz_softmax_loss_points` (lidar + camera predictions
+    over the SAME rasterized labels, tasks/pmf/trainer.py:330-332) fused
+    into one sort pipeline: the masks, fg one-hots and pixel keys are
+    shared, the [C, P] weight sorts run stacked as [2C, P], and a single
+    2C-channel raster places both streams' Jaccard weights. Returns
+    (loss_a, loss_b), each identical to the single-stream call.
+    """
+    from ..ops.scatter import rasterize_unique
+
+    B, H, W, C = probs_a.shape
+    HW = H * W
+    N = pt_pix.shape[1]
+
+    ok = pt_won
+    if ignore is not None:
+        ok &= pt_label != ignore
+    okf = ok.astype(jnp.float32)
+    fg = jax.nn.one_hot(pt_label, C, dtype=jnp.float32) * okf[..., None]
+
+    idx_gather = jnp.minimum(pt_pix, HW - 1)[..., None]
+    errs = []
+    for probs in (probs_a, probs_b):
+        p_pts = jnp.take_along_axis(
+            jax.lax.stop_gradient(probs).astype(jnp.float32).reshape(B, HW, C),
+            idx_gather, axis=1)                              # [B, N, C]
+        errs.append(jnp.abs(fg - p_pts) * okf[..., None])
+
+    P = B * N
+    errT = jnp.concatenate(
+        [e.reshape(P, C).T for e in errs], axis=0)           # [2C, P]
+    fgT = jnp.tile(fg.reshape(P, C).T, (2, 1))
+    idx = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, P), 1), errT.shape)
+    packed = idx * 2 + fgT.astype(jnp.int32)
+    _, packed_s = jax.lax.sort((-errT, packed), num_keys=1)
+    grad = _lovasz_grad_batched((packed_s & 1).astype(jnp.float32))
+    _, g_unsorted = jax.lax.sort((packed_s >> 1, grad), num_keys=1)
+    w_pts = jax.lax.stop_gradient(
+        jnp.concatenate([g_unsorted[:C].T.reshape(B, N, C),
+                         g_unsorted[C:].T.reshape(B, N, C)], axis=-1)
+        * okf[..., None])                                    # [B, N, 2C]
+
+    w_img, _ = jax.vmap(
+        lambda pix, k, v: rasterize_unique(pix, k, v, H, W)
+    )(pt_pix, ok, w_pts)
+    w_img = jax.lax.stop_gradient(w_img)                     # [B, H, W, 2C]
+
+    ok_img = labels_img != ignore if ignore is not None \
+        else jnp.ones(labels_img.shape, bool)
+    okimgf = ok_img.astype(jnp.float32)
+    fg_img = (jax.nn.one_hot(labels_img, C, dtype=jnp.float32)
+              * okimgf[..., None])
+    present = (fg.sum(axis=(0, 1)) > 0).astype(jnp.float32)
+    npresent = jnp.maximum(present.sum(), 1.0)
+
+    losses = []
+    for s, probs in enumerate((probs_a, probs_b)):
+        err_img = (jnp.abs(fg_img - probs.astype(jnp.float32))
+                   * okimgf[..., None])
+        per_class = (err_img * w_img[..., s * C:(s + 1) * C]).sum(
+            axis=(0, 1, 2))
+        losses.append((per_class * present).sum() / npresent)
+    return losses[0], losses[1]
+
+
 def lovasz_softmax_loss_points(probs: jax.Array, labels_img: jax.Array,
                                pt_pix: jax.Array, pt_label: jax.Array,
                                pt_won: jax.Array,

@@ -22,8 +22,9 @@ import jax.numpy as jnp
 
 from ..losses import (
     explog_dice_loss, focal_softmax_loss, lovasz_softmax_loss,
-    lovasz_softmax_loss_points, perception_aware_loss,
-    perception_aware_losses, multi_task_loss, normalized_entropy,
+    lovasz_softmax_loss_points, lovasz_softmax_loss_points_pair,
+    perception_aware_loss, perception_aware_losses, multi_task_loss,
+    normalized_entropy,
 )
 from ..metrics.iou import confusion_matrix
 from .state import TrainState
@@ -62,20 +63,22 @@ def pmf_losses(lidar_pred, camera_pred, label, cfg: LossConfig,
     label_mask = label > 0
 
     if points is not None:
+        # both streams share masks/fg/pixel keys — fuse the two Lovász
+        # computations into one stacked sort + one 2C-channel raster
         pt_pix, pt_label, pt_won = points
-        lovasz = functools.partial(
-            lovasz_softmax_loss_points, labels_img=label, pt_pix=pt_pix,
-            pt_label=pt_label, pt_won=pt_won, ignore=cfg.lovasz_ignore)
+        loss_lov, loss_lov_cam = lovasz_softmax_loss_points_pair(
+            lidar_pred, camera_pred, label, pt_pix, pt_label, pt_won,
+            ignore=cfg.lovasz_ignore)
     else:
         lovasz = functools.partial(lovasz_softmax_loss, labels=label,
                                    ignore=cfg.lovasz_ignore)
+        loss_lov = lovasz(lidar_pred)
+        loss_lov_cam = lovasz(camera_pred)
 
     loss_foc = focal_softmax_loss(lidar_pred, label, alpha,
                                   gamma=cfg.gamma_focal, mask=label_mask)
-    loss_lov = lovasz(lidar_pred)
     loss_foc_cam = focal_softmax_loss(camera_pred, label, alpha,
                                       gamma=cfg.gamma_focal, mask=label_mask)
-    loss_lov_cam = lovasz(camera_pred)
     if cfg.use_dice:
         loss_foc = loss_foc + explog_dice_loss(lidar_pred, label, label_mask)
         loss_foc_cam = loss_foc_cam + explog_dice_loss(camera_pred, label,

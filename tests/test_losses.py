@@ -308,6 +308,35 @@ def test_lovasz_points_matches_full_image():
     np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_pts),
                                rtol=1e-4, atol=1e-6)
 
+    # the fused two-stream version must equal two single-stream calls
+    # (value AND gradient), for distinct per-stream predictions
+    from pmf_tpu.losses import lovasz_softmax_loss_points_pair
+    probs_b = jax.nn.softmax(jnp.asarray(
+        rng.normal(size=(B, H, W, C)).astype(np.float32)), axis=-1)
+
+    def pair_sum(pa, pb):
+        la, lb = lovasz_softmax_loss_points_pair(pa, pb, label_img, pix,
+                                                 labels, won, ignore=0)
+        return la + 2.0 * lb
+
+    (la, lb) = jax.jit(lovasz_softmax_loss_points_pair,
+                       static_argnames="ignore")(
+        probs, probs_b, label_img, pix, labels, won, ignore=0)
+    single_b = lovasz_softmax_loss_points(probs_b, label_img, pix, labels,
+                                          won, ignore=0)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(pts), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(single_b),
+                               rtol=1e-5, atol=1e-6)
+    ga, gb = jax.grad(pair_sum, argnums=(0, 1))(probs, probs_b)
+    gb_single = jax.grad(
+        lambda p: lovasz_softmax_loss_points(p, label_img, pix, labels,
+                                             won, ignore=0))(probs_b)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(g_pts),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb), 2.0 * np.asarray(gb_single),
+                               rtol=1e-4, atol=1e-6)
+
 
 def test_build_batch_return_points_consistent():
     """The returned point info must reproduce the canvas labels: placing
