@@ -168,7 +168,7 @@ def rasterize_zbuffer_pallas(rows, cols, depth, keep, values, H: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 1, C, ntw * _TILE),
                                lambda b, r, *_: (b, r, 0, 0),
                                memory_space=pltpu.VMEM),
