@@ -73,12 +73,18 @@ def lovasz_softmax_loss(probs: jax.Array, labels: jax.Array,
         # fg is {0,1}: pack (position, fg) into ONE int32 payload so the
         # big sort carries 2 operands instead of 3 (sort cost scales with
         # operand bytes; P*2 < 2^31 always holds for our canvases).
+        # Both sorts run is_stable=False: XLA implements stable sorts by
+        # appending a hidden iota operand (+50% sort traffic). The loss
+        # value is tie-order invariant (equal-error blocks telescope,
+        # module docstring) and the unsort keys are unique positions, so
+        # instability only permutes gradient attribution inside exact-tie
+        # blocks — arbitrary in the reference too (CUDA torch.sort).
         idx = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.int32, (1, P), 1), err.shape)
         packed = idx * 2 + fg.astype(jnp.int32)
-        _, packed_s = jax.lax.sort((-err, packed), num_keys=1)
+        _, packed_s = jax.lax.sort((-err, packed), num_keys=1, is_stable=False)
         grad = _lovasz_grad_batched((packed_s & 1).astype(jnp.float32))
-        _, g_unsorted = jax.lax.sort((packed_s >> 1, grad), num_keys=1)
+        _, g_unsorted = jax.lax.sort((packed_s >> 1, grad), num_keys=1, is_stable=False)
         return g_unsorted
 
     g = jax.lax.stop_gradient(weights(err))
@@ -126,9 +132,9 @@ def lovasz_softmax_loss_points_pair(
     idx = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (1, P), 1), errT.shape)
     packed = idx * 2 + fgT.astype(jnp.int32)
-    _, packed_s = jax.lax.sort((-errT, packed), num_keys=1)
+    _, packed_s = jax.lax.sort((-errT, packed), num_keys=1, is_stable=False)
     grad = _lovasz_grad_batched((packed_s & 1).astype(jnp.float32))
-    _, g_unsorted = jax.lax.sort((packed_s >> 1, grad), num_keys=1)
+    _, g_unsorted = jax.lax.sort((packed_s >> 1, grad), num_keys=1, is_stable=False)
     w_pts = jax.lax.stop_gradient(
         jnp.concatenate([g_unsorted[:C].T.reshape(B, N, C),
                          g_unsorted[C:].T.reshape(B, N, C)], axis=-1)
@@ -214,9 +220,9 @@ def lovasz_softmax_loss_points(probs: jax.Array, labels_img: jax.Array,
     idx = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (1, P), 1), errT.shape)
     packed = idx * 2 + fgT.astype(jnp.int32)
-    _, packed_s = jax.lax.sort((-errT, packed), num_keys=1)
+    _, packed_s = jax.lax.sort((-errT, packed), num_keys=1, is_stable=False)
     grad = _lovasz_grad_batched((packed_s & 1).astype(jnp.float32))
-    _, g_unsorted = jax.lax.sort((packed_s >> 1, grad), num_keys=1)
+    _, g_unsorted = jax.lax.sort((packed_s >> 1, grad), num_keys=1, is_stable=False)
     w_pts = jax.lax.stop_gradient(
         g_unsorted.T.reshape(B, N, C) * okf[..., None])      # [B, N, C]
 

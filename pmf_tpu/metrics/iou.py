@@ -26,9 +26,13 @@ def confusion_matrix(pred: jax.Array, target: jax.Array, n_classes: int,
                      valid: jax.Array | None = None) -> jax.Array:
     """Confusion matrix conf[pred, gt] of two integer arrays.
 
-    Computed as a dense [P, C] one-hot matmul (MXU-friendly) instead of a
+    Computed as an MXU dot of two [C, P] one-hots instead of a
     serialized scatter-add (reference used index_put_(accumulate=True),
-    iou_eval.py:52-53).
+    iou_eval.py:52-53). The one-hots are laid out class-major so the
+    contraction runs over the minor (lane) dimension — a [C, P]·[C, P]ᵀ
+    dot — and the materialized one-hots don't pay the C→128 lane padding
+    a [P, C] layout would. bf16 operand values are exactly 0/1 and the
+    accumulation is f32, so counts are exact up to 2^24 per cell.
 
     Args:
       pred, target: integer arrays of identical shape.
@@ -38,15 +42,15 @@ def confusion_matrix(pred: jax.Array, target: jax.Array, n_classes: int,
     Returns:
       [C, C] float32 matrix with rows=pred, cols=gt.
     """
-    pred = pred.reshape(-1)
-    target = target.reshape(-1)
-    w = jnp.ones(pred.shape, dtype=jnp.float32)
+    pred = pred.reshape(1, -1)
+    target = target.reshape(1, -1)
+    iota = jnp.arange(n_classes, dtype=jnp.int32)[:, None]
+    oh_pred = (pred.astype(jnp.int32) == iota).astype(jnp.bfloat16)  # [C, P]
+    oh_tgt = (target.astype(jnp.int32) == iota).astype(jnp.bfloat16)
     if valid is not None:
-        w = w * valid.reshape(-1).astype(jnp.float32)
-    oh_pred = jax.nn.one_hot(pred, n_classes, dtype=jnp.float32)
-    oh_tgt = jax.nn.one_hot(target, n_classes, dtype=jnp.float32)
-    return jnp.einsum("pc,pk,p->ck", oh_pred, oh_tgt, w,
-                      preferred_element_type=jnp.float32)
+        oh_pred = oh_pred * valid.reshape(1, -1).astype(jnp.bfloat16)
+    return jax.lax.dot_general(oh_pred, oh_tgt, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def iou_from_confusion(conf: np.ndarray, ignore=()):

@@ -8,6 +8,7 @@ from .projection import (
 from .scatter import (zbuffer_scatter, zbuffer_scatter_packed,
     scatter_to_image, fill_canvas)
 from .knn import knn_postprocess, gaussian_kernel2d
+from .reduce import argmax_last
 from .resize import upsample_bilinear, pixel_shuffle
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "fill_canvas",
     "knn_postprocess",
     "gaussian_kernel2d",
+    "argmax_last",
     "upsample_bilinear",
     "pixel_shuffle",
 ]

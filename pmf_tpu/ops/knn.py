@@ -19,6 +19,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from .reduce import argmax_last
 import numpy as np
 
 _INF = jnp.float32(np.inf)
@@ -103,7 +105,7 @@ def knn_postprocess(proj_range: jax.Array, unproj_range: jax.Array,
     # one-hot vote over classes 0..C (C = invalid-after-cutoff bucket)
     votes = jax.nn.one_hot(knn_argmax, nclasses + 1, dtype=jnp.float32).sum(axis=1)
     # never choose unlabeled (0) or the invalid bucket (ref: knn.py:138)
-    out = jnp.argmax(votes[:, 1:nclasses], axis=1).astype(jnp.int32) + 1
+    out = argmax_last(votes[:, 1:nclasses]) + 1
     if valid is not None:
         out = jnp.where(valid, out, 0)
     return out

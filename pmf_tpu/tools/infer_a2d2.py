@@ -20,6 +20,7 @@ from ..config import load_options
 from ..data.a2d2 import A2D2_PV
 from ..data.perspective_pipeline import pad_points
 from ..metrics import IOUEval
+from ..ops.reduce import argmax_last
 from ..ops.scatter import fill_canvas, zbuffer_scatter_packed
 from ..train import Recorder
 from ..train.checkpoint import CheckpointManager
@@ -88,7 +89,7 @@ class A2D2Inference:
         def forward(variables, feature):
             lidar, cam = self.model.apply(variables, feature[None, ..., :5],
                                           feature[None, ..., 5:8], train=False)
-            return jnp.argmax(lidar[0], -1).astype(jnp.int32)
+            return argmax_last(lidar[0])
 
         self._forward = forward
 

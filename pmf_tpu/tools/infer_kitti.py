@@ -31,7 +31,7 @@ from ..data.perspective_pipeline_v2 import (
 from ..data.augment import AugmentConfig
 from ..metrics import IOUEval
 from ..models import EPMFNet, PMFNet
-from ..ops import knn_postprocess
+from ..ops import argmax_last, knn_postprocess
 from ..train import Recorder
 from ..train.checkpoint import CheckpointManager
 from ..utils.tables import (format_table, latex_row, matrix_report,
@@ -135,7 +135,7 @@ class Inference:
                 jnp.asarray(s["image"]), s["img_h"], s["img_w"], self.pv_cfg)
             t0 = time.perf_counter()
             probs = self._forward(f[None])[0]
-            argmax = jnp.argmax(probs, -1).astype(jnp.int32)
+            argmax = argmax_last(probs)
 
             if self.use_knn:
                 # depth plane for KNN: the projected depth channel denorm

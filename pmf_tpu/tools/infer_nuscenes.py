@@ -30,7 +30,7 @@ from ..data.perspective_pipeline_v2 import (
     V2Config, build_v2_eval_sample_with_uproj,
 )
 from ..metrics import IOUEval
-from ..ops import knn_postprocess
+from ..ops import argmax_last, knn_postprocess
 from ..train import Recorder
 from ..train.checkpoint import CheckpointManager
 from ..utils.tables import per_class_report
@@ -98,7 +98,7 @@ class NuscenesInference:
                                           feature[None, ..., 5:8], train=False)
             probs = lidar[0]
             conf = jnp.max(probs, -1)
-            argmax = jnp.argmax(probs, -1).astype(jnp.int32)
+            argmax = argmax_last(probs)
             return conf, argmax
 
         self._forward = forward

@@ -23,7 +23,7 @@ from ..data import RangeConfig, SemanticKitti, Nuscenes, build_range_sample_with
 from ..data.loader import range_sample_reader
 from ..metrics import IOUEval
 from ..models import SalsaNext
-from ..ops import knn_postprocess
+from ..ops import argmax_last, knn_postprocess
 from ..train import Recorder
 from ..train.checkpoint import CheckpointManager
 from ..utils.tables import per_class_report
@@ -79,7 +79,7 @@ class SalsaNextInference:
         @jax.jit
         def forward(variables, feature):
             probs = self.model.apply(variables, feature[None], train=False)[0]
-            return jnp.argmax(probs, -1).astype(jnp.int32)
+            return argmax_last(probs)
 
         self._forward = forward
         self.reader = range_sample_reader(self.dataset, self.cfg)

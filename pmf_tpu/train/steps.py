@@ -27,6 +27,7 @@ from ..losses import (
     normalized_entropy,
 )
 from ..metrics.iou import confusion_matrix
+from ..ops.reduce import argmax_last
 from .state import TrainState
 
 
@@ -146,9 +147,9 @@ def make_pmf_train_step(model, tx, cfg: LossConfig):
                                   batch_stats=new_bs, opt_state=new_opt)
 
         aux["conf"] = confusion_matrix(
-            jnp.argmax(lidar_pred, -1), label, cfg.nclasses)
+            argmax_last(lidar_pred), label, cfg.nclasses)
         aux["conf_cam"] = confusion_matrix(
-            jnp.argmax(camera_pred, -1), label, cfg.nclasses)
+            argmax_last(camera_pred), label, cfg.nclasses)
         return new_state, aux
 
     return train_step
@@ -175,9 +176,9 @@ def make_pmf_eval_step(model, cfg: LossConfig):
             # padded samples out of the metrics
             valid = jnp.broadcast_to(sample_valid[:, None, None], label.shape)
         aux["conf"] = confusion_matrix(
-            jnp.argmax(lidar_pred, -1), label, cfg.nclasses, valid)
+            argmax_last(lidar_pred), label, cfg.nclasses, valid)
         aux["conf_cam"] = confusion_matrix(
-            jnp.argmax(camera_pred, -1), label, cfg.nclasses, valid)
+            argmax_last(camera_pred), label, cfg.nclasses, valid)
         return aux, lidar_pred
 
     return eval_step
@@ -213,7 +214,7 @@ def make_salsanext_train_step(model, tx, cfg: LossConfig):
             lambda p, u: p + u, state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
-        aux["conf"] = confusion_matrix(jnp.argmax(pred, -1), label, cfg.nclasses)
+        aux["conf"] = confusion_matrix(argmax_last(pred), label, cfg.nclasses)
         return new_state, aux
 
     return train_step
@@ -229,7 +230,7 @@ def make_salsanext_eval_step(model, cfg: LossConfig):
         valid = None
         if sample_valid is not None:
             valid = jnp.broadcast_to(sample_valid[:, None, None], label.shape)
-        aux["conf"] = confusion_matrix(jnp.argmax(pred, -1), label,
+        aux["conf"] = confusion_matrix(argmax_last(pred), label,
                                        cfg.nclasses, valid)
         return aux, pred
 

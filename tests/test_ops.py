@@ -313,3 +313,16 @@ def test_rasterize_zbuffer_batched_jit():
     assert canvas.shape == (B, H, W, 4)
     assert mask.shape == (B, H, W)
     assert np.isfinite(np.asarray(canvas)).all()
+
+
+def test_argmax_last_matches_jnp_with_ties():
+    from pmf_tpu.ops import argmax_last
+    rng = np.random.default_rng(7)
+    # quantized values force plenty of exact ties
+    x = (rng.integers(0, 5, (6, 17, 23)) / 4.0).astype(np.float32)
+    got = np.asarray(argmax_last(jnp.asarray(x)))
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, np.argmax(x, -1))
+    xb = jnp.asarray(x, jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(argmax_last(xb)),
+                                  np.asarray(jnp.argmax(xb, -1)))
