@@ -120,9 +120,11 @@ def lovasz_softmax_loss_points_pair(
     idx_gather = jnp.minimum(pt_pix, HW - 1)[..., None]
     errs = []
     for probs in (probs_a, probs_b):
+        # gather in the model's compute dtype and cast AFTER: gathered
+        # bytes halve at bf16 and the cast commutes bit-exactly
         p_pts = jnp.take_along_axis(
-            jax.lax.stop_gradient(probs).astype(jnp.float32).reshape(B, HW, C),
-            idx_gather, axis=1)                              # [B, N, C]
+            jax.lax.stop_gradient(probs).reshape(B, HW, C),
+            idx_gather, axis=1).astype(jnp.float32)          # [B, N, C]
         errs.append(jnp.abs(fg - p_pts) * okf[..., None])
 
     P = B * N
@@ -201,11 +203,12 @@ def lovasz_softmax_loss_points(probs: jax.Array, labels_img: jax.Array,
     HW = H * W
     N = pt_pix.shape[1]
 
-    # --- detached point-domain Jaccard weights
-    p_img = jax.lax.stop_gradient(probs).astype(jnp.float32)
+    # --- detached point-domain Jaccard weights (gather in the model's
+    # compute dtype, cast after — bit-exact, half the gathered bytes)
     p_pts = jnp.take_along_axis(
-        p_img.reshape(B, HW, C),
-        jnp.minimum(pt_pix, HW - 1)[..., None], axis=1)     # [B, N, C]
+        jax.lax.stop_gradient(probs).reshape(B, HW, C),
+        jnp.minimum(pt_pix, HW - 1)[..., None],
+        axis=1).astype(jnp.float32)                         # [B, N, C]
     ok = pt_won
     if ignore is not None:
         ok &= pt_label != ignore

@@ -18,7 +18,12 @@ from flax import linen as nn
 
 
 def leaky_relu(x: jax.Array) -> jax.Array:
-    return nn.leaky_relu(x, negative_slope=0.01)
+    # max(x, 0.01x) == LeakyReLU(0.01) elementwise. Expressed as maximum
+    # (not where/select) because XLA TPU output-fuses `maximum` into a
+    # convolution epilogue but schedules compare+select as a standalone
+    # full-tensor pass (~13 ms/fwd of pure activation traffic at the
+    # flagship eval shapes).
+    return jnp.maximum(x, x * jnp.asarray(0.01, x.dtype))
 
 
 def _pad2(p) -> Sequence[tuple[int, int]]:
@@ -29,7 +34,7 @@ def _pad2(p) -> Sequence[tuple[int, int]]:
 
 # post-activation registry for Conv(post=...): named (not callable-valued)
 # so module fields stay hashable/comparable
-_POST = {"leaky": leaky_relu}
+_POST = {"leaky": leaky_relu, "relu": lambda x: jnp.maximum(x, 0)}
 
 
 class _PackedConvInner(nn.Module):
@@ -48,7 +53,7 @@ class _PackedConvInner(nn.Module):
     post: str | None = None
 
     @nn.compact
-    def __call__(self, xp):
+    def __call__(self, xp, scale=None, shift=None):
         from ..ops.packed_conv import packed_conv
 
         ci = xp.shape[-1] // 4
@@ -57,6 +62,11 @@ class _PackedConvInner(nn.Module):
         b = self.param("bias", nn.initializers.zeros,
                        (self.features,), jnp.float32) if self.use_bias \
             else None
+        if scale is not None:
+            # folded eval-mode BN (see conv_bn): per-output-channel scale
+            # on the kernel, shift folded into the bias — both O(params)
+            k = k * scale[None, None, None, :]
+            b = shift if b is None else b * scale + shift
         # bias + activation ride the conv epilogue (per pair conv in the
         # pair-phase decomposition — applied after the phase concat they
         # cost a standalone full-tensor pass)
@@ -65,6 +75,46 @@ class _PackedConvInner(nn.Module):
                            in_segments=self.segments,
                            bias=None if b is None else b.astype(self.dtype),
                            post_fn=_POST.get(self.post))
+
+
+class _DenseConvInner(nn.Module):
+    """nn.Conv-compatible conv (same param names/shapes/inits under the
+    caller-assigned "Conv_0" scope) that can apply a folded eval-mode
+    BatchNorm: kernel scaled per output channel, shift added in the bias
+    epilogue, optional fused activation. Only instantiated on the folded
+    path — the unfolded path keeps nn.Conv, and the two produce identical
+    parameter trees.
+    """
+    features: int
+    kernel: tuple[int, int]
+    stride: int
+    padding: tuple[tuple[int, int], tuple[int, int]]
+    dilation: int
+    use_bias: bool
+    dtype: jnp.dtype
+    post: str | None = None
+
+    @nn.compact
+    def __call__(self, x, scale=None, shift=None):
+        ci = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (*self.kernel, ci, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32) if self.use_bias \
+            else None
+        if scale is not None:
+            k = k * scale[None, None, None, :]
+            b = shift if b is None else b * scale + shift
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=self.padding,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if b is not None:
+            y = y + b.astype(self.dtype)
+        post = _POST.get(self.post)
+        return post(y) if post is not None else y
 
 
 class Conv(nn.Module):
@@ -87,7 +137,7 @@ class Conv(nn.Module):
     post: str | None = None  # fused post-activation ("leaky")
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale=None, shift=None):
         if self.packed:
             assert self.stride == 1, "packed conv supports stride 1 only"
             pad = self.padding if isinstance(self.padding, tuple) \
@@ -95,7 +145,14 @@ class Conv(nn.Module):
             return _PackedConvInner(self.features, self.kernel, pad,
                                     self.dilation, self.use_bias,
                                     self.dtype, self.packed_segments,
-                                    self.post, name="Conv_0")(x)
+                                    self.post, name="Conv_0")(x, scale, shift)
+        if scale is not None:
+            # folded eval-mode BN path (conv_bn): needs raw kernel access,
+            # so a param-compatible inner conv replaces nn.Conv
+            return _DenseConvInner(self.features, self.kernel, self.stride,
+                                   _pad2(self.padding), self.dilation,
+                                   self.use_bias, self.dtype, self.post,
+                                   name="Conv_0")(x, scale, shift)
         y = nn.Conv(self.features, self.kernel,
                     strides=(self.stride, self.stride),
                     padding=_pad2(self.padding),
@@ -122,9 +179,19 @@ class BatchNorm(nn.Module):
     packed: bool = False
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool | None = None):
+    def __call__(self, x, use_running_average: bool | None = None,
+                 fold: int | None = None):
         ura = nn.merge_param("use_running_average", self.use_running_average,
                              use_running_average)
+        if fold is not None:
+            # running-stat coefficient extraction for conv_bn folding:
+            # declare the exact same params/stats and return (a, b) f32
+            # with y = x·a + b ≡ BN(x). `fold` carries the channel count
+            # (x is not passed).
+            assert ura, "BN folding is an eval-time (running-stat) rewrite"
+            cls = _PackedBatchNorm if self.packed else _DenseBatchNorm
+            return cls(dtype=self.dtype, name="BatchNorm_0")(
+                None, True, fold=fold)
         if self.packed:
             # statistics pool the 4 spatial phases to match full-res
             # per-channel BN exactly. The DATA stays 4D: only the [4C]
@@ -134,11 +201,55 @@ class BatchNorm(nn.Module):
             # tensor on TPU at every BN call.
             return _PackedBatchNorm(dtype=self.dtype, name="BatchNorm_0")(
                 x, ura)
-        # flax computes mean/var in f32 internally for half dtypes; the
-        # activation stays in self.dtype (no cast round trips)
-        return nn.BatchNorm(use_running_average=ura, momentum=0.9,
-                            epsilon=1e-5, dtype=self.dtype,
-                            param_dtype=jnp.float32)(x)
+        # same math/params as nn.BatchNorm(momentum=0.9, eps=1e-5), but the
+        # affine is applied as x·a + b with a, b reduced to self.dtype —
+        # at eval a, b are constants, so the whole BN fuses into the
+        # producing conv's epilogue instead of costing an f32
+        # multiply+convert pass over the full tensor (~18 ms/fwd at the
+        # flagship eval shapes). Child name matches nn.BatchNorm's
+        # auto-name so checkpoints are interchangeable.
+        return _DenseBatchNorm(dtype=self.dtype, name="BatchNorm_0")(x, ura)
+
+
+class _DenseBatchNorm(nn.Module):
+    """BatchNorm2d with torch hyperparameters (eps 1e-5, running momentum
+    0.1) storing f32 params/stats under the same names as nn.BatchNorm.
+
+    Statistics are computed in f32 (fast-variance form E[x²]−E[x]², as
+    flax does); the affine y = x·a + b runs in `dtype` with a = γ/σ and
+    b = β − μ·a folded to two [C] vectors first — algebraically identical
+    to (x−μ)/σ·γ+β, and in eval mode a pure fusable multiply-add.
+    """
+    dtype: jnp.dtype = jnp.float32
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool, fold: int | None = None):
+        C = x.shape[-1] if fold is None else fold
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=(0, 1, 2))
+            var = (xf * xf).mean(axis=(0, 1, 2)) - mean * mean
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        if fold is not None:
+            return inv, bias - mean * inv
+        a = inv.astype(self.dtype)
+        b = (bias - mean * inv).astype(self.dtype)
+        return x.astype(self.dtype) * a + b
 
 
 class _PackedBatchNorm(nn.Module):
@@ -154,8 +265,8 @@ class _PackedBatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
-        C = x.shape[-1] // 4
+    def __call__(self, x, use_running_average: bool, fold: int | None = None):
+        C = x.shape[-1] // 4 if fold is None else fold
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -178,9 +289,49 @@ class _PackedBatchNorm(nn.Module):
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        if fold is not None:
+            # [C] coefficients — the packed conv tiles its bias across the
+            # 4 phases itself, and the kernel's co axis is unphased
+            return inv, bias - mean * inv
         a = jnp.tile(inv, 4).astype(self.dtype)
         b = jnp.tile(bias - mean * inv, 4).astype(self.dtype)
         return x.astype(self.dtype) * a + b
+
+
+def conv_bn(x, *, features, kernel=(3, 3), stride=1, padding=0, dilation=1,
+            use_bias=False, dtype=jnp.float32, packed=False,
+            packed_segments=None, act: str | None = None,
+            conv_name: str, bn_name: str, train: bool):
+    """Conv → BatchNorm [→ act] with the BN folded into the conv at eval.
+
+    Train mode runs the plain three-op chain (batch statistics need the
+    conv output). Eval mode rewrites it exactly: with a = γ/√(σ²+ε) and
+    b = β − μ·a from the running stats, BN(conv_k(x) + cb) ≡
+    conv_{k·a}(x) + (cb·a + b) — a per-output-channel kernel scale costing
+    O(params), after which the activation rides the conv epilogue and the
+    BN's full-tensor HBM pass disappears (~1 ms each at the flagship
+    384×1232 eval shapes, ×36 BNs in ResNet34).
+
+    Must be called from inside an @nn.compact __call__ — the Conv/BN
+    children attach to the caller's scope under `conv_name`/`bn_name`,
+    producing the identical parameter tree in both modes (checkpoints
+    interchangeable, torch_convert untouched).
+    """
+    if train:
+        y = Conv(features, kernel, stride=stride, padding=padding,
+                 dilation=dilation, use_bias=use_bias, dtype=dtype,
+                 packed=packed, packed_segments=packed_segments,
+                 name=conv_name)(x)
+        y = BatchNorm(dtype=dtype, packed=packed, name=bn_name)(
+            y, use_running_average=False)
+        post = _POST.get(act)
+        return post(y) if post is not None else y
+    a, b = BatchNorm(dtype=dtype, packed=packed, name=bn_name)(
+        None, use_running_average=True, fold=features)
+    return Conv(features, kernel, stride=stride, padding=padding,
+                dilation=dilation, use_bias=use_bias, dtype=dtype,
+                packed=packed, packed_segments=packed_segments, post=act,
+                name=conv_name)(x, a, b)
 
 
 class Dropout2d(nn.Module):

@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from ..ops.packed_conv import depth_to_space, space_to_depth
 from ..ops.resize import upsample_bilinear, upsample_bilinear_x2_packed
-from .layers import BatchNorm, Conv, leaky_relu
+from .layers import BatchNorm, Conv, conv_bn, leaky_relu
 from .resnet import ResNetEncoder
 from .salsanext import ResBlock, ResContextBlock, UpBlock
 
@@ -40,13 +40,12 @@ class ResidualBasedFusionBlock(nn.Module):
         fused = leaky_relu(fused)
         fused = BatchNorm(dtype=dt, name="fuse_bn")(fused, use_running_average=not train)
 
-        att = Conv(self.pcd_channels, (3, 3), padding=1, dtype=dt,
-                   name="att_conv1")(fused)
-        att = BatchNorm(dtype=dt, name="att_bn1")(att, use_running_average=not train)
-        att = nn.relu(att)
-        att = Conv(self.pcd_channels, (3, 3), padding=1, dtype=dt,
-                   name="att_conv2")(att)
-        att = BatchNorm(dtype=dt, name="att_bn2")(att, use_running_average=not train)
+        att = conv_bn(fused, features=self.pcd_channels, kernel=(3, 3),
+                      padding=1, use_bias=True, dtype=dt, act="relu",
+                      conv_name="att_conv1", bn_name="att_bn1", train=train)
+        att = conv_bn(att, features=self.pcd_channels, kernel=(3, 3),
+                      padding=1, use_bias=True, dtype=dt,
+                      conv_name="att_conv2", bn_name="att_bn2", train=train)
         att = nn.sigmoid(att)
         return fused * att + pcd_feature
 

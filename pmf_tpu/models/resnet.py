@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.packed_conv import packed_max_pool_3x3_s2, space_to_depth
-from .layers import BatchNorm, Conv, Dropout2d, max_pool_3x3_s2
+from .layers import Dropout2d, conv_bn, max_pool_3x3_s2
 
 _STAGES = {
     "resnet34": ([3, 4, 6, 3], "basic", 1),
@@ -38,10 +38,9 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool):
         dt = self.dtype
         identity = x
-        out = Conv(self.features, (3, 3), stride=self.stride, padding=1,
-                   use_bias=False, dtype=dt, name="conv1")(x)
-        out = BatchNorm(dtype=dt, name="bn1")(out, use_running_average=not train)
-        out = nn.relu(out)
+        out = conv_bn(x, features=self.features, kernel=(3, 3),
+                      stride=self.stride, padding=1, dtype=dt, act="relu",
+                      conv_name="conv1", bn_name="bn1", train=train)
         if not train:
             # eval only: keep XLA from fusing conv2 over conv1 (a fused
             # conv chain recomputes the producer per consumer tap —
@@ -49,14 +48,13 @@ class BasicBlock(nn.Module):
             # backward-pass scheduling (train step measured 2x SLOWER
             # with it), and the autodiff graph never forms conv chains.
             out = jax.lax.optimization_barrier(out)
-        out = Conv(self.features, (3, 3), padding=1, use_bias=False,
-                   dtype=dt, name="conv2")(out)
-        out = BatchNorm(dtype=dt, name="bn2")(out, use_running_average=not train)
+        out = conv_bn(out, features=self.features, kernel=(3, 3), padding=1,
+                      dtype=dt, conv_name="conv2", bn_name="bn2", train=train)
         if self.downsample:
-            identity = Conv(self.features, (1, 1), stride=self.stride,
-                            use_bias=False, dtype=dt, name="downsample_conv")(x)
-            identity = BatchNorm(dtype=dt, name="downsample_bn")(
-                identity, use_running_average=not train)
+            identity = conv_bn(x, features=self.features, kernel=(1, 1),
+                               stride=self.stride, dtype=dt,
+                               conv_name="downsample_conv",
+                               bn_name="downsample_bn", train=train)
         return nn.relu(out + identity)
 
 
@@ -70,21 +68,18 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool):
         dt = self.dtype
         identity = x
-        out = Conv(self.features, (1, 1), use_bias=False, dtype=dt, name="conv1")(x)
-        out = BatchNorm(dtype=dt, name="bn1")(out, use_running_average=not train)
-        out = nn.relu(out)
-        out = Conv(self.features, (3, 3), stride=self.stride, padding=1,
-                   use_bias=False, dtype=dt, name="conv2")(out)
-        out = BatchNorm(dtype=dt, name="bn2")(out, use_running_average=not train)
-        out = nn.relu(out)
-        out = Conv(self.features * 4, (1, 1), use_bias=False, dtype=dt,
-                   name="conv3")(out)
-        out = BatchNorm(dtype=dt, name="bn3")(out, use_running_average=not train)
+        out = conv_bn(x, features=self.features, kernel=(1, 1), dtype=dt,
+                      act="relu", conv_name="conv1", bn_name="bn1", train=train)
+        out = conv_bn(out, features=self.features, kernel=(3, 3),
+                      stride=self.stride, padding=1, dtype=dt, act="relu",
+                      conv_name="conv2", bn_name="bn2", train=train)
+        out = conv_bn(out, features=self.features * 4, kernel=(1, 1),
+                      dtype=dt, conv_name="conv3", bn_name="bn3", train=train)
         if self.downsample:
-            identity = Conv(self.features * 4, (1, 1), stride=self.stride,
-                            use_bias=False, dtype=dt, name="downsample_conv")(x)
-            identity = BatchNorm(dtype=dt, name="downsample_bn")(
-                identity, use_running_average=not train)
+            identity = conv_bn(x, features=self.features * 4, kernel=(1, 1),
+                               stride=self.stride, dtype=dt,
+                               conv_name="downsample_conv",
+                               bn_name="downsample_bn", train=train)
         return nn.relu(out + identity)
 
 
@@ -118,19 +113,16 @@ class ResNetEncoder(nn.Module):
         # stem: 7x7 stride-1 conv (PMF trick), BN, relu, 3x3/2 maxpool
         if self.packed_stem:
             xp = space_to_depth(x)
-            out = Conv(64, (7, 7), stride=1, padding=3, use_bias=False,
-                       dtype=self.dtype, packed=True, name="conv1")(xp)
-            out = BatchNorm(dtype=self.dtype, packed=True, name="bn1")(
-                out, use_running_average=not train)
-            out = nn.relu(out)
+            out = conv_bn(xp, features=64, kernel=(7, 7), padding=3,
+                          dtype=self.dtype, packed=True, act="relu",
+                          conv_name="conv1", bn_name="bn1", train=train)
             out = packed_max_pool_3x3_s2(out, 64)
             if not train:
                 out = jax.lax.optimization_barrier(out)
         else:
-            out = Conv(64, (7, 7), stride=1, padding=3, use_bias=False,
-                       dtype=self.dtype, name="conv1")(x)
-            out = BatchNorm(dtype=self.dtype, name="bn1")(out, use_running_average=not train)
-            out = nn.relu(out)
+            out = conv_bn(x, features=64, kernel=(7, 7), padding=3,
+                          dtype=self.dtype, act="relu",
+                          conv_name="conv1", bn_name="bn1", train=train)
             out = max_pool_3x3_s2(out)
 
         feats = []
