@@ -59,6 +59,9 @@ class PVConfig:
     # kernel, ~2x the scatter path on TPU) | "scatter" | "auto" (pallas
     # on a single-device TPU backend; scatter on CPU and under sharding,
     # where pallas_call has no partitioning rule)
+    img_jitter: tuple | None = None  # train-time RGB ColorJitter strengths
+    # (brightness, contrast, saturation) — ref loader img_aug=True with
+    # ColorJitter(0.4, 0.4, 0.4) (perspective_view_loader.py:46-48)
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
     @property
@@ -202,6 +205,11 @@ def _view_geometry(key, points, labels, valid, proj_matrix, image,
     vals = jnp.concatenate(
         [depth[:, None], points[:, :4], labels[:, None].astype(jnp.float32)],
         axis=-1)
+
+    if train and cfg.img_jitter is not None:
+        from .jitter import color_jitter
+        image = color_jitter(jax.random.fold_in(key, 7), image, img_h,
+                             img_w, cfg.img_jitter)
 
     # RGB view
     if train:

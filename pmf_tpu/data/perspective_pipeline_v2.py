@@ -60,6 +60,8 @@ class V2Config:
                                # frame; yaw about (z, x), depth test on z
                                # (dataset_nuscenes_v2.py:344-356)
     min_depth_cam: float = 0.1
+    img_jitter: tuple | None = None  # train-time RGB ColorJitter
+    # (tasks/epmf/trainer.py:198 → loader img_aug=True)
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 
 
@@ -177,6 +179,10 @@ def build_v2_sample(key, points, labels, valid, proj_matrix, image,
     src_x = jnp.where(flip, max_w.astype(jnp.float32) - 1.0 - src_x, src_x)
     img_col = (src_x - left_pad + y_min) / scale
     img_row = (src_y + x_min) / scale
+    if train and cfg.img_jitter is not None:
+        from .jitter import color_jitter
+        image = color_jitter(jax.random.fold_in(key, 7), image, img_h,
+                             img_w, cfg.img_jitter)
     rgb = _bilinear_sample(image, img_row, img_col, img_h, img_w)
 
     feature = jnp.concatenate([canvas[..., :5], rgb], axis=-1)

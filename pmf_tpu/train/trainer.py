@@ -100,7 +100,13 @@ class Trainer:
     def _init_data(self):
         opts = self.opts
         sensor = opts.group("sensor")
-        aug = AugmentConfig.from_dict(opts.group("augmentation"))
+        aug_group = opts.group("augmentation")
+        aug = AugmentConfig.from_dict(aug_group)
+        # train-time RGB ColorJitter — on by default like the reference
+        # (img_aug=True, tasks/pmf/trainer.py:142, epmf/trainer.py:198);
+        # set `augmentation.img_jitter: null` to disable
+        jitter = aug_group.get("img_jitter", (0.4, 0.4, 0.4))
+        self.img_jitter = tuple(jitter) if jitter else None
         self.is_fusion = opts.net_type in ("PMFNet", "EPMFNet")
 
         if opts.dataset == "SemanticKitti":
@@ -204,6 +210,7 @@ class Trainer:
                 img_mean=tuple(pv.get("pcd_mean", V2Config.img_mean)),
                 img_stds=tuple(pv.get("pcd_stds", V2Config.img_stds)),
                 pcd_aug=bool(pv.get("pcd_aug", False)),
+                img_jitter=self.img_jitter,
                 augment=aug)
             if self.use_pix:
                 from ..data.loader import a2d2_sample_reader
@@ -231,6 +238,7 @@ class Trainer:
                 img_stds=tuple(sensor.get("img_stds", PVConfig.img_stds)),
                 pcd_aug=bool(sensor.get("pcd_aug", False)),
                 projection="cam" if opts.dataset == "nuScenes" else "kitti",
+                img_jitter=self.img_jitter,
                 augment=aug)
             if opts.dataset == "SemanticKitti":
                 train_reader = kitti_sample_reader(trainset, self.pv_cfg)
