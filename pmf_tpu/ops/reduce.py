@@ -17,8 +17,16 @@ import jax.numpy as jnp
 
 
 def argmax_last(x: jax.Array) -> jax.Array:
-    """Exact `jnp.argmax(x, axis=-1)` as two vectorized reduces."""
+    """Exact `jnp.argmax(x, axis=-1)` as two vectorized reduces.
+
+    NaN handling differs from jnp.argmax: a row containing NaN has
+    max=NaN which compares unequal everywhere, so the masked min would
+    be the sentinel C — the result is clamped to C-1 so downstream
+    class/label LUT indexing stays in range (jnp.argmax would return
+    the NaN position instead). Identical for all non-NaN inputs.
+    """
     c = x.shape[-1]
     m = jnp.max(x, axis=-1, keepdims=True)
     iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.min(jnp.where(x == m, iota, c), axis=-1).astype(jnp.int32)
+    out = jnp.min(jnp.where(x == m, iota, c), axis=-1)
+    return jnp.minimum(out, c - 1).astype(jnp.int32)
