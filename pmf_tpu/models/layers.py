@@ -22,7 +22,10 @@ def leaky_relu(x: jax.Array) -> jax.Array:
     # (not where/select) because XLA TPU output-fuses `maximum` into a
     # convolution epilogue but schedules compare+select as a standalone
     # full-tensor pass (~13 ms/fwd of pure activation traffic at the
-    # flagship eval shapes).
+    # flagship eval shapes). Subgradient at exactly x == 0 is 0.505
+    # (JAX splits max-tie gradients 50/50) vs 1.0 for the where/select
+    # form and torch — measure-zero, but bf16 does hit exact zeros;
+    # grad-parity tolerances absorb it.
     return jnp.maximum(x, x * jnp.asarray(0.01, x.dtype))
 
 
@@ -298,6 +301,17 @@ class _PackedBatchNorm(nn.Module):
         return x.astype(self.dtype) * a + b
 
 
+# Eval-mode BN folding switch. The fold is algebraically exact, but it
+# perturbs which conv codegen strategy XLA picks per program: an H-axis
+# spatially-sharded eval forward then differs from the unsharded one by
+# float accumulation noise (measured ≤ 8.4e-4 abs on f32 softmax
+# outputs, 99.6% identical argmax on random weights; with the fold
+# disabled the two programs agree to 4.5e-8 — bisected round 4, see
+# tests/test_parallel.py). Flip off to trade the ~36 fused BN passes for
+# bitwise-stable cross-sharding numerics (debugging / parity hunts).
+FOLD_EVAL_BN = True
+
+
 def conv_bn(x, *, features, kernel=(3, 3), stride=1, padding=0, dilation=1,
             use_bias=False, dtype=jnp.float32, packed=False,
             packed_segments=None, act: str | None = None,
@@ -317,13 +331,13 @@ def conv_bn(x, *, features, kernel=(3, 3), stride=1, padding=0, dilation=1,
     producing the identical parameter tree in both modes (checkpoints
     interchangeable, torch_convert untouched).
     """
-    if train:
+    if train or not FOLD_EVAL_BN:
         y = Conv(features, kernel, stride=stride, padding=padding,
                  dilation=dilation, use_bias=use_bias, dtype=dtype,
                  packed=packed, packed_segments=packed_segments,
                  name=conv_name)(x)
         y = BatchNorm(dtype=dtype, packed=packed, name=bn_name)(
-            y, use_running_average=False)
+            y, use_running_average=not train)
         post = _POST.get(act)
         return post(y) if post is not None else y
     a, b = BatchNorm(dtype=dtype, packed=packed, name=bn_name)(

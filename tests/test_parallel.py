@@ -47,13 +47,16 @@ def test_sharded_train_step_matches_single_device(mesh8):
     feature = rng.normal(size=(4, 32, 48, 8)).astype(np.float32)
     label = rng.integers(0, nclasses, size=(4, 32, 48))
 
-    # single-device run
+    # single-device run (the step donates its input state, so build a
+    # fresh identical one per call — _setup is deterministic)
     s1, aux1 = step(state, jnp.asarray(feature), jnp.asarray(label),
                     jax.random.PRNGKey(42))
 
     # sharded run: batch over 'data'
+    _, _, state_b, _ = _setup(nclasses)
     sharded = shard_batch(mesh8, {"f": feature, "l": label})
-    s2, aux2 = step(state, sharded["f"], sharded["l"], jax.random.PRNGKey(42))
+    s2, aux2 = step(state_b, sharded["f"], sharded["l"],
+                    jax.random.PRNGKey(42))
 
     np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
                                rtol=2e-4)
@@ -67,11 +70,12 @@ def test_sharded_train_step_matches_single_device(mesh8):
                                    rtol=2e-3, atol=2e-5)
 
 
-def test_spatial_sharding_forward(mesh8):
-    """H-axis spatial sharding over the 'model' axis compiles and matches."""
-    model, tx, state, cfg = _setup()
+def _spatial_fwd_pair(mesh8):
+    """(sharded, unsharded) eval forwards of the same model/weights with
+    the batch sharded over 'data' and H over 'model'."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    model, tx, state, cfg = _setup()
     rng = np.random.default_rng(1)
     feature = rng.normal(size=(4, 32, 48, 8)).astype(np.float32)
 
@@ -82,9 +86,33 @@ def test_spatial_sharding_forward(mesh8):
 
     ref_lidar, _ = fwd(state.params, state.batch_stats, jnp.asarray(feature))
     fs = jax.device_put(feature, NamedSharding(mesh8, P("data", "model")))
-    lidar, cam = fwd(state.params, state.batch_stats, fs)
-    np.testing.assert_allclose(np.asarray(lidar), np.asarray(ref_lidar),
-                               rtol=5e-4, atol=1e-5)
+    lidar, _ = fwd(state.params, state.batch_stats, fs)
+    return np.asarray(lidar), np.asarray(ref_lidar)
+
+
+def test_spatial_sharding_forward_exact(mesh8, monkeypatch):
+    """H-axis spatial sharding (halo exchanges) is numerically exact:
+    with eval-BN folding disabled, sharded == unsharded to float noise
+    (measured 4.5e-8). Proves the partitioning itself is correct."""
+    from pmf_tpu.models import layers
+
+    monkeypatch.setattr(layers, "FOLD_EVAL_BN", False)
+    lidar, ref = _spatial_fwd_pair(mesh8)
+    np.testing.assert_allclose(lidar, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_sharding_forward_folded_bounded(mesh8):
+    """The production eval path (BN folded into conv kernels) changes
+    which conv codegen strategy XLA picks per program, so the sharded
+    forward differs from the unsharded one by accumulation noise —
+    bisected round 4 to the fold alone (barrier/epilogues irrelevant;
+    models/layers.py FOLD_EVAL_BN). Bound it: ≤ 2e-3 abs on softmax
+    outputs and ≥ 99% identical argmax even on random near-uniform
+    weights (trained confident predictions flip far less)."""
+    lidar, ref = _spatial_fwd_pair(mesh8)
+    assert np.abs(lidar - ref).max() <= 2e-3
+    agree = (lidar.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree >= 0.99, f"argmax agreement {agree:.4f}"
 
 
 def test_preprocessing_under_sharding(mesh8):
