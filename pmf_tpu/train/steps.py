@@ -113,15 +113,21 @@ def pmf_losses(lidar_pred, camera_pred, label, cfg: LossConfig,
     return total, aux
 
 
-def make_pmf_train_step(model, tx, cfg: LossConfig):
+def make_pmf_train_step(model, tx, cfg: LossConfig, donate: bool = True):
     """Build the jitted fused train step.
 
     step(state, feature [B,H,W,8], label [B,H,W], key) →
       (new_state, metrics) where metrics holds scalar losses and the
       [C,C] confusion matrices of both streams.
+
+    donate=True donates the input TrainState buffers (params + optimizer
+    moments + batch_stats — hundreds of MB at ResNet34 f32) so XLA
+    updates them in place instead of double-buffering every step; the
+    caller must not reuse the state it passed in (the trainer's
+    `self.state, _ = step(self.state, ...)` pattern is safe).
     """
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, feature, label, key, points=None):
         pcd = feature[..., 0:5]
         img = feature[..., 5:8]
@@ -197,8 +203,9 @@ def salsanext_losses(pred, label, cfg: LossConfig):
                    "loss_lovasz": loss_lov}
 
 
-def make_salsanext_train_step(model, tx, cfg: LossConfig):
-    @jax.jit
+def make_salsanext_train_step(model, tx, cfg: LossConfig,
+                              donate: bool = True):
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, feature, label, key):
         def loss_fn(params):
             pred, mutated = model.apply(
