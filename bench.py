@@ -13,10 +13,13 @@ next call INSIDE jit (no eager ops in the loop) and force one real
 np.asarray fetch at the end — device execution is in-order, so the last
 result completing implies all N executed.
 
-Prints ONE JSON line {metric, value, unit, vs_baseline, train_*}: the
-headline metric is eval scans/sec/chip; train-step throughput at the
-training config (256×1024, bs8, fused loss+backward+optimizer+metrics)
-rides along as extra fields.
+Output protocol: the headline eval JSON line is printed THE MOMENT eval
+is measured (insurance against the driver's wall-clock timeout — round 3
+recorded rc=124 and no number at all because setup ate the budget).
+Extra phases (train step, EPMF eval) run only while inside
+BENCH_BUDGET_S (default 420 s) and each reprints the full JSON line with
+their fields added, so the LAST line is always the most complete and
+EVERY line carries the headline {metric, value, unit, vs_baseline}.
 
 vs_baseline: the reference publishes no throughput in-repo (BASELINE.md);
 the north-star target is >2× an A100 running the reference at this
@@ -26,6 +29,7 @@ this workload, giving A100_EST ≈ 25 scans/sec, so
 vs_baseline = value / (2 * 25) and >1.0 beats the target.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -41,22 +45,34 @@ HT, WT = 256, 1024  # training crop (config_server_kitti.yaml sensor)
 N_ITERS = 15
 N_TRAIN_ITERS = 8
 
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+# conservative cost estimates per phase (compile/load through the axon
+# relay dominates; measured round 4): used to decide whether a phase
+# still fits the budget BEFORE starting it.
+EST_TRAIN_S = 240.0
+EST_EPMF_S = 150.0
 
-def make_inputs(rng, batch):
-    pts = np.zeros((batch, N_POINTS, 4), np.float32)
-    pts[..., 0] = rng.uniform(2, 70, (batch, N_POINTS))
-    pts[..., 1] = rng.uniform(-20, 20, (batch, N_POINTS))
-    pts[..., 2] = rng.uniform(-2, 1, (batch, N_POINTS))
-    pts[..., 3] = rng.uniform(0, 1, (batch, N_POINTS))
-    labels = rng.integers(0, 20, (batch, N_POINTS)).astype(np.int32)
-    valid = np.ones((batch, N_POINTS), bool)
+
+def elapsed():
+    return time.perf_counter() - T0
+
+
+def make_inputs(rng, batch, n_points=N_POINTS, h=H, w=W):
+    pts = np.zeros((batch, n_points, 4), np.float32)
+    pts[..., 0] = rng.uniform(2, 70, (batch, n_points))
+    pts[..., 1] = rng.uniform(-20, 20, (batch, n_points))
+    pts[..., 2] = rng.uniform(-2, 1, (batch, n_points))
+    pts[..., 3] = rng.uniform(0, 1, (batch, n_points))
+    labels = rng.integers(0, 20, (batch, n_points)).astype(np.int32)
+    valid = np.ones((batch, n_points), bool)
     fx = 720.0
     proj = np.tile(np.array(
-        [[fx, -fx, 0, W * fx / 2], [0, 0, -fx, H * fx / 2], [1, 0, 0, 0]],
+        [[fx, -fx, 0, w * fx / 2], [0, 0, -fx, h * fx / 2], [1, 0, 0, 0]],
         np.float32)[None], (batch, 1, 1))
-    image = rng.random((batch, H, W + 16, 3)).astype(np.float32)
-    img_h = np.full((batch,), H, np.int32)
-    img_w = np.full((batch,), W, np.int32)
+    image = rng.random((batch, h, w + 16, 3)).astype(np.float32)
+    img_h = np.full((batch,), h, np.int32)
+    img_w = np.full((batch,), w, np.int32)
     return pts, labels, valid, proj, image, img_h, img_w
 
 
@@ -98,9 +114,14 @@ def bench_train(jax, jnp, model, variables, args):
     state = TrainState.create({"params": variables["params"],
                                "batch_stats": variables["batch_stats"]}, tx)
     loss_cfg = LossConfig(nclasses=20, alpha=tuple([0.0] + [1.0] * 19))
-    step = make_pmf_train_step(model, tx, loss_cfg)
+    step = make_pmf_train_step(model, tx, loss_cfg, donate=False)
 
-    @jax.jit
+    # donate the state through the OUTER jit (the inner step is inlined):
+    # params + AdamW/SGD moments update in place instead of
+    # double-buffering hundreds of MB every step
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_iter(state, key, points, labels, valid, proj_matrix, image,
                    ih, iw):
         # fold the per-step key INSIDE the jit: an eager fold_in between
@@ -124,12 +145,63 @@ def bench_train(jax, jnp, model, variables, args):
     return BATCH / dt
 
 
+def bench_epmf_eval(jax, jnp):
+    """EPMF (efficient variant) eval throughput at its /64 config —
+    V2 pipeline (yaw-crop, tight bbox) + half-res lidar stream
+    (epmf_net.py:82-131)."""
+    from pmf_tpu.data.perspective_pipeline_v2 import V2Config, build_v2_batch
+    from pmf_tpu.models import EPMFNet
+
+    h, w = 320, 1216
+    cfg = V2Config(canvas_h=H, canvas_w=W + 16, proj_h=h, proj_w=w,
+                   proj_ht=h, proj_wt=w, n_points=N_POINTS)
+    model = EPMFNet(nclasses=20, base_channels=32, image_backbone="resnet34",
+                    dtype=jnp.bfloat16)
+    raw = make_inputs(np.random.default_rng(1), BATCH)
+    args = tuple(map(jnp.asarray, raw))
+
+    @jax.jit
+    def init_fn(key):
+        return model.init({"params": key, "dropout": jax.random.PRNGKey(1)},
+                          jnp.zeros((1, 64, 128, 5)),
+                          jnp.zeros((1, 64, 128, 3)), train=False)
+
+    variables = init_fn(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def epmf_pipeline(variables, eps, points, labels, valid, proj_matrix,
+                      image, ih, iw):
+        f, m, l = build_v2_batch(jax.random.PRNGKey(0), points + eps,
+                                 labels, valid, proj_matrix, image, ih, iw,
+                                 cfg, False)
+        lidar, cam = model.apply(variables, f[..., :5], f[..., 5:8],
+                                 train=False)
+        from pmf_tpu.ops import argmax_last
+        pred = argmax_last(lidar)
+        return pred, (pred[0, 0, 0] * 0).astype(jnp.float32)
+
+    eps = jnp.float32(0.0)
+    out, eps = epmf_pipeline(variables, eps, *args)
+    np.asarray(out[0, :2, :2])
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        out, eps = epmf_pipeline(variables, eps, *args)
+    np.asarray(eps)
+    dt = (time.perf_counter() - t0) / N_ITERS
+    return BATCH / dt
+
+
 def main():
     import jax
 
     # persistent compilation cache: the driver re-runs bench each round
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # default-effort TPU codegen unrolls these conv nets into ~90 MB of
+    # code per program (slow to compile AND slower to run — see
+    # pmf_tpu/utils/compiler.py); −0.7 is ~3× smaller and faster
+    from pmf_tpu.utils import configure_compiler
+    configure_compiler()
     import jax.numpy as jnp
 
     from pmf_tpu.data import PVConfig
@@ -157,17 +229,30 @@ def main():
     args = tuple(map(jnp.asarray, raw))
 
     eval_sps = bench_eval(jax, jnp, model, variables, cfg, args)
-    train_sps = bench_train(jax, jnp, model, variables, args)
-
-    print(json.dumps({
+    result = {
         "metric": "pmf_r34_kitti_eval_scans_per_sec_per_chip",
         "value": round(eval_sps, 2),
         "unit": "scans/sec",
         "vs_baseline": round(eval_sps / TARGET, 3),
-        "train_metric": "pmf_r34_kitti_train_scans_per_sec_per_chip",
-        "train_value": round(train_sps, 2),
-        "train_batch": BATCH,
-    }))
+    }
+    print(json.dumps(result), flush=True)  # headline lands NOW
+
+    if elapsed() + EST_TRAIN_S < BUDGET_S:
+        train_sps = bench_train(jax, jnp, model, variables, args)
+        result.update({
+            "train_metric": "pmf_r34_kitti_train_scans_per_sec_per_chip",
+            "train_value": round(train_sps, 2),
+            "train_batch": BATCH,
+        })
+        print(json.dumps(result), flush=True)
+
+    if elapsed() + EST_EPMF_S < BUDGET_S:
+        epmf_sps = bench_epmf_eval(jax, jnp)
+        result.update({
+            "epmf_metric": "epmf_r34_kitti_eval_scans_per_sec_per_chip",
+            "epmf_value": round(epmf_sps, 2),
+        })
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

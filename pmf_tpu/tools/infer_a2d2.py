@@ -155,6 +155,9 @@ class A2D2Inference:
 
 
 def main():
+    from ..utils import configure_compiler
+
+    configure_compiler()  # see pmf_tpu/utils/compiler.py
     parser = argparse.ArgumentParser()
     parser.add_argument("config")
     parser.add_argument("--weights", required=True)

@@ -114,13 +114,16 @@ class Inference:
         self.pixel_eval = IOUEval(opts.nclasses, ignore=self.ignore)
         self.point_eval = IOUEval(opts.nclasses, ignore=self.ignore)
 
+        # variables as an ARGUMENT (not a closure constant): a closure
+        # embeds every weight into the executable (~300 MB serialized)
+        # and defeats the persistent compile cache
         @jax.jit
-        def forward(feature):
-            lidar, cam = self.model.apply(self.variables, feature[..., :5],
+        def forward(variables, feature):
+            lidar, cam = self.model.apply(variables, feature[..., :5],
                                           feature[..., 5:8], train=False)
             return lidar
 
-        self._forward = forward
+        self._forward = lambda f: forward(self.variables, f)
 
     def run(self, max_scans: int = -1):
         n = len(self.dataset) if max_scans < 0 else min(max_scans, len(self.dataset))
@@ -213,6 +216,9 @@ class Inference:
 
 
 def main():
+    from ..utils import configure_compiler
+
+    configure_compiler()  # see pmf_tpu/utils/compiler.py
     parser = argparse.ArgumentParser()
     parser.add_argument("config")
     parser.add_argument("--weights", required=True,

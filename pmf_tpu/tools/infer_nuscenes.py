@@ -197,6 +197,9 @@ class NuscenesInference:
 
 
 def main():
+    from ..utils import configure_compiler
+
+    configure_compiler()  # see pmf_tpu/utils/compiler.py
     parser = argparse.ArgumentParser()
     parser.add_argument("config")
     parser.add_argument("--weights", required=True)

@@ -145,6 +145,9 @@ class SalsaNextInference:
 
 
 def main():
+    from ..utils import configure_compiler
+
+    configure_compiler()  # see pmf_tpu/utils/compiler.py
     parser = argparse.ArgumentParser()
     parser.add_argument("config")
     parser.add_argument("--weights", required=True)

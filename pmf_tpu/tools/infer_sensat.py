@@ -153,6 +153,9 @@ def _grid(total: int, size: int, stride: int):
 
 
 def main():
+    from ..utils import configure_compiler
+
+    configure_compiler()  # see pmf_tpu/utils/compiler.py
     parser = argparse.ArgumentParser()
     parser.add_argument("config")
     parser.add_argument("--weights", required=True)

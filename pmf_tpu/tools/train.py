@@ -83,6 +83,9 @@ class Experiment:
 
 
 def main():
+    from ..utils import configure_compiler
+
+    configure_compiler()  # see pmf_tpu/utils/compiler.py
     parser = argparse.ArgumentParser()
     parser.add_argument("config", help="experiment yaml")
     parser.add_argument("--val-only", action="store_true")

@@ -1,5 +1,6 @@
 from .meters import AverageMeter, RunningAvgMeter, RemainTime
 from .logger import make_logger, is_main_process
+from .compiler import configure_compiler
 
 __all__ = [
     "AverageMeter",
@@ -7,4 +8,5 @@ __all__ = [
     "RemainTime",
     "make_logger",
     "is_main_process",
+    "configure_compiler",
 ]
