@@ -19,6 +19,8 @@
 #include <thread>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 // Read one scan into padded buffers. Returns number of points read
@@ -61,6 +63,151 @@ int64_t read_one(const char* pcd_path, const char* label_path,
   return n;
 }
 
+// ---------------------------------------------------------------- PNG
+// Minimal PNG decoder for the camera images (8-bit gray/RGB/RGBA,
+// non-interlaced — covers KITTI image_2 and nuScenes CAM_* frames).
+// Replaces per-sample PIL decode in Python threads: PIL holds the GIL
+// during filter reconstruction, so a Python thread pool decodes at
+// ~1 image/core-task while this runs one real thread per sample.
+// Output is written STRAIGHT into the padded float canvas /255
+// (pmf_tpu.data.perspective_pipeline.pad_image semantics) — no uint8
+// intermediate, no numpy pass.
+
+inline uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+inline int paeth(int a, int b, int c) {
+  const int p = a + b - c;
+  const int pa = p > a ? p - a : a - p;
+  const int pb = p > b ? p - b : b - p;
+  const int pc = p > c ? p - c : c - p;
+  if (pa <= pb && pa <= pc) return a;
+  return (pb <= pc) ? b : c;
+}
+
+// Decode `path` into canvas_out [canvas_h, canvas_w, 3] float32
+// (pre-zeroed by caller), image placed top-left, values /255.
+// Returns 0 on success and sets (*img_h, *img_w); negative on error.
+int decode_png_to_canvas(const char* path, float* canvas_out,
+                         int64_t canvas_h, int64_t canvas_w,
+                         int32_t* img_h, int32_t* img_w) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  const long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(fsize);
+  if (std::fread(buf.data(), 1, fsize, f) != size_t(fsize)) {
+    std::fclose(f);
+    return -1;
+  }
+  std::fclose(f);
+
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (fsize < 8 || std::memcmp(buf.data(), sig, 8) != 0) return -2;
+
+  uint32_t W = 0, H = 0;
+  int channels = 0;
+  std::vector<uint8_t> idat;
+  size_t off = 8;
+  while (off + 8 <= size_t(fsize)) {
+    const uint32_t len = be32(&buf[off]);
+    const uint8_t* type = &buf[off + 4];
+    const uint8_t* data = &buf[off + 8];
+    if (off + 12 + len > size_t(fsize)) return -3;
+    if (!std::memcmp(type, "IHDR", 4)) {
+      W = be32(data);
+      H = be32(data + 4);
+      const int bit_depth = data[8], color = data[9], interlace = data[12];
+      if (bit_depth != 8 || interlace != 0) return -4;  // uncommon
+      switch (color) {
+        case 0: channels = 1; break;   // gray
+        case 2: channels = 3; break;   // RGB
+        case 4: channels = 2; break;   // gray+alpha
+        case 6: channels = 4; break;   // RGBA
+        default: return -4;            // palette unsupported
+      }
+    } else if (!std::memcmp(type, "IDAT", 4)) {
+      idat.insert(idat.end(), data, data + len);
+    } else if (!std::memcmp(type, "IEND", 4)) {
+      break;
+    }
+    off += 12 + len;
+  }
+  if (!W || !H || !channels || idat.empty()) return -5;
+
+  const size_t stride = size_t(W) * channels;
+  std::vector<uint8_t> raw(H * (stride + 1));
+  uLongf raw_len = raw.size();
+  if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK ||
+      raw_len != raw.size())
+    return -6;
+
+  // unfilter in place row by row, then write the float canvas
+  const int64_t out_h = std::min<int64_t>(H, canvas_h);
+  const int64_t out_w = std::min<int64_t>(W, canvas_w);
+  std::vector<uint8_t> prev(stride, 0);
+  std::vector<uint8_t> cur(stride);
+  for (uint32_t y = 0; y < H; ++y) {
+    const uint8_t* row = &raw[y * (stride + 1)];
+    const int filter = row[0];
+    const uint8_t* src = row + 1;
+    switch (filter) {
+      case 0:
+        std::memcpy(cur.data(), src, stride);
+        break;
+      case 1:  // Sub
+        for (size_t i = 0; i < stride; ++i)
+          cur[i] = src[i] + (i >= size_t(channels) ? cur[i - channels] : 0);
+        break;
+      case 2:  // Up
+        for (size_t i = 0; i < stride; ++i) cur[i] = src[i] + prev[i];
+        break;
+      case 3:  // Average
+        for (size_t i = 0; i < stride; ++i) {
+          const int a = i >= size_t(channels) ? cur[i - channels] : 0;
+          cur[i] = src[i] + uint8_t((a + prev[i]) >> 1);
+        }
+        break;
+      case 4:  // Paeth
+        for (size_t i = 0; i < stride; ++i) {
+          const int a = i >= size_t(channels) ? cur[i - channels] : 0;
+          const int c = i >= size_t(channels) ? prev[i - channels] : 0;
+          cur[i] = src[i] + uint8_t(paeth(a, prev[i], c));
+        }
+        break;
+      default:
+        return -7;
+    }
+    if (int64_t(y) < out_h) {
+      float* dst = canvas_out + (int64_t(y) * canvas_w) * 3;
+      if (channels >= 3) {
+        for (int64_t x = 0; x < out_w; ++x) {
+          const uint8_t* px = &cur[size_t(x) * channels];
+          // divide (not multiply-by-reciprocal): bit-exact with the
+          // numpy pad_image path so the two loaders are interchangeable
+          dst[x * 3 + 0] = px[0] / 255.0f;
+          dst[x * 3 + 1] = px[1] / 255.0f;
+          dst[x * 3 + 2] = px[2] / 255.0f;
+        }
+      } else {  // grayscale → replicated
+        for (int64_t x = 0; x < out_w; ++x) {
+          const float v = cur[size_t(x) * channels] / 255.0f;
+          dst[x * 3 + 0] = v;
+          dst[x * 3 + 1] = v;
+          dst[x * 3 + 2] = v;
+        }
+      }
+    }
+    std::swap(prev, cur);
+  }
+  *img_h = int32_t(std::min<int64_t>(H, canvas_h));
+  *img_w = int32_t(std::min<int64_t>(W, canvas_w));
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -97,6 +244,56 @@ int64_t read_scan(const char* pcd_path, const char* label_path,
                   uint8_t* valid_out) {
   return read_one(pcd_path, label_path, label_lut, lut_size, n_max,
                   point_dim, points_out, labels_out, valid_out);
+}
+
+// Decode one PNG onto a pre-zeroed float32 canvas [canvas_h, canvas_w,
+// 3], /255, image top-left (pad_image semantics). 0 on success.
+int decode_png(const char* path, float* canvas_out, int64_t canvas_h,
+               int64_t canvas_w, int32_t* img_h, int32_t* img_w) {
+  std::memset(canvas_out, 0, sizeof(float) * canvas_h * canvas_w * 3);
+  return decode_png_to_canvas(path, canvas_out, canvas_h, canvas_w,
+                              img_h, img_w);
+}
+
+// Parallel batch: decode B PNGs into [B, canvas_h, canvas_w, 3].
+// Returns the number of failed samples (0 = all good).
+int decode_png_batch(const char** paths, int64_t batch, float* canvas_out,
+                     int64_t canvas_h, int64_t canvas_w, int32_t* img_h,
+                     int32_t* img_w) {
+  std::memset(canvas_out, 0, sizeof(float) * batch * canvas_h * canvas_w * 3);
+  std::atomic<int> failures{0};
+  std::vector<std::thread> threads;
+  threads.reserve(batch);
+  for (int64_t b = 0; b < batch; ++b) {
+    threads.emplace_back([&, b] {
+      if (decode_png_to_canvas(paths[b],
+                               canvas_out + b * canvas_h * canvas_w * 3,
+                               canvas_h, canvas_w, img_h + b, img_w + b))
+        failures.fetch_add(1);
+    });
+  }
+  for (auto& t : threads) t.join();
+  return failures.load();
+}
+
+// One full PV sample in one call (point cloud + labels + image), so the
+// Python host loop is a single GIL-dropping ctypes call per sample.
+int64_t read_scan_full(const char* pcd_path, const char* label_path,
+                       const char* image_path, const int32_t* label_lut,
+                       int64_t lut_size, int64_t n_max, int64_t point_dim,
+                       float* points_out, int32_t* labels_out,
+                       uint8_t* valid_out, float* canvas_out,
+                       int64_t canvas_h, int64_t canvas_w, int32_t* img_h,
+                       int32_t* img_w) {
+  const int64_t n = read_one(pcd_path, label_path, label_lut, lut_size,
+                             n_max, point_dim, points_out, labels_out,
+                             valid_out);
+  if (n < 0) return -1;
+  std::memset(canvas_out, 0, sizeof(float) * canvas_h * canvas_w * 3);
+  if (decode_png_to_canvas(image_path, canvas_out, canvas_h, canvas_w,
+                           img_h, img_w))
+    return -2;
+  return n;
 }
 
 }  // extern "C"

@@ -31,7 +31,29 @@ def kitti_sample_reader(dataset, cfg: PVConfig,
         use_native = native_loader.available() and getattr(
             dataset, "has_label", True)
 
+    use_native_png = use_native and native_loader.png_available()
+
     def read(index: int) -> dict:
+        if use_native_png:
+            # one GIL-dropping call: points + labels + PNG → padded
+            # buffers (native/loader.cpp read_scan_full)
+            try:
+                (points, labels, valid, image, img_h, img_w,
+                 _) = native_loader.read_scan_full(
+                    dataset.pointcloud_files[index],
+                    dataset.label_files[index],
+                    dataset.image_files[index], dataset.class_map_lut,
+                    cfg.n_points, cfg.canvas_h, cfg.canvas_w)
+                seq, _ = dataset.parsePathInfoByIndex(index)
+                return {
+                    "points": points, "labels": labels, "valid": valid,
+                    "proj_matrix": dataset.projection_matrix(seq).astype(
+                        np.float32),
+                    "image": image, "img_h": img_h, "img_w": img_w,
+                    "index": np.int32(index),
+                }
+            except IOError:
+                pass  # exotic PNG (palette/16-bit) → PIL fallback below
         if use_native:
             points, labels, valid, _ = native_loader.read_scan(
                 dataset.pointcloud_files[index], dataset.label_files[index],

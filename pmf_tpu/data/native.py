@@ -42,12 +42,32 @@ def load_library():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64)]
+    if hasattr(lib, "decode_png"):
+        lib.decode_png.restype = ctypes.c_int
+        lib.decode_png.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.read_scan_full.restype = ctypes.c_int64
+        lib.read_scan_full.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return lib
 
 
 def available() -> bool:
     return load_library() is not None
+
+
+def png_available() -> bool:
+    lib = load_library()
+    return lib is not None and hasattr(lib, "decode_png")
 
 
 def _ptr(arr, ctype):
@@ -99,3 +119,48 @@ def read_scan_batch(pcd_paths, label_paths, label_lut: np.ndarray,
         bad = [p for p, c in zip(pcd_paths, counts) if c < 0]
         raise IOError(f"native batch read failed for {failures} scans: {bad}")
     return points, labels, valid.astype(bool), counts
+
+
+def decode_png(path: str, canvas_h: int, canvas_w: int):
+    """Decode a PNG straight onto the float canvas (pad_image semantics:
+    top-left, /255, zero padding). Returns (canvas [H,W,3] f32, img_h,
+    img_w). 8-bit gray/RGB/RGBA non-interlaced; raises on exotic files
+    (callers fall back to PIL)."""
+    lib = load_library()
+    assert lib is not None and hasattr(lib, "decode_png")
+    canvas = np.empty((canvas_h, canvas_w, 3), np.float32)
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    rc = lib.decode_png(path.encode(), _ptr(canvas, ctypes.c_float),
+                        canvas_h, canvas_w, ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise IOError(f"native png decode failed ({rc}): {path}")
+    return canvas, np.int32(h.value), np.int32(w.value)
+
+
+def read_scan_full(pcd_path: str, label_path: str | None, image_path: str,
+                   label_lut: np.ndarray, n_max: int, canvas_h: int,
+                   canvas_w: int, point_dim: int = 4):
+    """One ctypes call per sample: points + labels + PNG → padded
+    buffers. The call drops the GIL, so a Python thread pool scales
+    across cores. Returns the full PV sample tuple
+    (points, labels, valid, canvas, img_h, img_w, n)."""
+    lib = load_library()
+    assert lib is not None and hasattr(lib, "read_scan_full")
+    lut = np.ascontiguousarray(label_lut, np.int32)
+    points = np.empty((n_max, point_dim), np.float32)
+    labels = np.empty((n_max,), np.int32)
+    valid = np.empty((n_max,), np.uint8)
+    canvas = np.empty((canvas_h, canvas_w, 3), np.float32)
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    n = lib.read_scan_full(
+        pcd_path.encode(), (label_path or "").encode(), image_path.encode(),
+        _ptr(lut, ctypes.c_int32), lut.size, n_max, point_dim,
+        _ptr(points, ctypes.c_float), _ptr(labels, ctypes.c_int32),
+        _ptr(valid, ctypes.c_uint8), _ptr(canvas, ctypes.c_float),
+        canvas_h, canvas_w, ctypes.byref(h), ctypes.byref(w))
+    if n < 0:
+        raise IOError(f"native full-scan read failed ({n}): {pcd_path}")
+    return (points, labels, valid.astype(bool), canvas,
+            np.int32(h.value), np.int32(w.value), int(n))

@@ -205,3 +205,51 @@ def test_native_loader_matches_numpy(kitti_root):
     assert bp.shape == (3, n_max, 4)
     np.testing.assert_array_equal(bp[0], ref_pts)
     np.testing.assert_array_equal(counts, [800, 800, 800])
+
+
+def test_native_png_decode_matches_pil(kitti_root):
+    """native/loader.cpp decode_png vs PIL + pad_image: bit-exact float
+    canvas and identical extents (covers Sub/Up/Average/Paeth filters —
+    PIL's encoder picks per-row adaptive filters on photographic data)."""
+    from pmf_tpu.data import native
+    from pmf_tpu.data import pad_image
+
+    if not native.png_available():
+        pytest.skip("native loader not built with png support")
+    ds = SemanticKitti(kitti_root, [0])
+    ch, cw = 64, 160
+    for i in range(2):
+        img = ds.loadImage(i)
+        ref, rh, rw = pad_image(img, ch, cw)
+        got, gh, gw = native.decode_png(ds.image_files[i], ch, cw)
+        assert (gh, gw) == (rh, rw)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_native_full_scan_reader(kitti_root):
+    """read_scan_full (points+labels+PNG in one call) matches the
+    composed readers, and kitti_sample_reader uses it transparently."""
+    from pmf_tpu.data import native
+    from pmf_tpu.data import pad_image, pad_points
+    from pmf_tpu.data.loader import kitti_sample_reader
+
+    if not native.png_available():
+        pytest.skip("native loader not built with png support")
+    ds = SemanticKitti(kitti_root, [0])
+    cfg = PVConfig(canvas_h=64, canvas_w=160, proj_h=64, proj_w=160,
+                   n_points=1024)
+    pts, lab, val, canvas, ih, iw, n = native.read_scan_full(
+        ds.pointcloud_files[0], ds.label_files[0], ds.image_files[0],
+        ds.class_map_lut, cfg.n_points, cfg.canvas_h, cfg.canvas_w)
+    pcd, sem, _ = ds.loadDataByIndex(0)
+    ref_pts, ref_lab, ref_val = pad_points(pcd, ds.labelMapping(sem),
+                                           cfg.n_points)
+    ref_img, rih, riw = pad_image(ds.loadImage(0), cfg.canvas_h, cfg.canvas_w)
+    np.testing.assert_array_equal(pts, ref_pts)
+    np.testing.assert_array_equal(lab, ref_lab)
+    np.testing.assert_array_equal(canvas, ref_img)
+    assert (ih, iw) == (rih, riw)
+
+    s = kitti_sample_reader(ds, cfg, use_native=True)(0)
+    np.testing.assert_array_equal(s["image"], ref_img)
+    np.testing.assert_array_equal(s["points"], ref_pts)
