@@ -3,6 +3,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from pmf_tpu.losses import (
     focal_softmax_loss, FocalSoftmaxLoss, lovasz_softmax_loss, kl_div,
     perception_aware_loss, dice_loss, explog_dice_loss, multi_task_loss,

@@ -1,5 +1,8 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 from pmf_tpu.metrics import IOUEval, confusion_matrix, topk_accuracy, AccEval
 

@@ -2,6 +2,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from pmf_tpu.ops import (
     perspective_project, yaw_crop_project, spherical_project,
     zbuffer_scatter, scatter_to_image, knn_postprocess, gaussian_kernel2d,
