@@ -110,3 +110,42 @@ def test_epmf_experiment_end_to_end(kitti_root, tmp_path):
     assert np.isfinite(best["IOU"])
     sigma1 = np.asarray(exp.trainer.state.params["mt_sigma"])
     assert np.abs(sigma1 - sigma0).max() > 0, "mt sigma did not train"
+
+
+def test_v2_pallas_fill_matches_scatter(kitti_root, v2_cfg, monkeypatch):
+    """build_v2_batch's Pallas-rasterizer branch (interpret mode on CPU)
+    produces identical features/masks/labels/points to the scatter
+    branch — the dispatch added for the EPMF bench (V2 preprocessing
+    measured 370 ms/batch on the scatter path vs ~60 via the batched
+    tile rasterizer at the eval config)."""
+    import dataclasses
+
+    import pmf_tpu.ops.pallas.tile_fill as tile_fill
+    from pmf_tpu.data.perspective_pipeline_v2 import build_v2_batch
+
+    orig = tile_fill.rasterize_zbuffer_pallas
+    monkeypatch.setattr(
+        tile_fill, "rasterize_zbuffer_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    ds = SemanticKitti(kitti_root, [0])
+    reader = kitti_sample_reader(ds, v2_cfg, use_native=False)
+    samples = [reader(i) for i in range(2)]
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    args = (jnp.asarray(batch["points"]), jnp.asarray(batch["labels"]),
+            jnp.asarray(batch["valid"]), jnp.asarray(batch["proj_matrix"]),
+            jnp.asarray(batch["image"]), jnp.asarray(batch["img_h"]),
+            jnp.asarray(batch["img_w"]))
+    key = jax.random.PRNGKey(3)
+
+    cfg_s = dataclasses.replace(v2_cfg, fill="scatter")
+    cfg_p = dataclasses.replace(v2_cfg, fill="pallas")
+    fs, ms, ls, pts_s = build_v2_batch(key, *args, cfg_s, False,
+                                       return_points=True)
+    fp, mp, lp, pts_p = build_v2_batch(key, *args, cfg_p, False,
+                                       return_points=True)
+    np.testing.assert_array_equal(np.asarray(ms), np.asarray(mp))
+    np.testing.assert_array_equal(np.asarray(ls), np.asarray(lp))
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(fp), atol=1e-6)
+    for a, b in zip(pts_s, pts_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
