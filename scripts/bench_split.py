@@ -42,7 +42,9 @@ def main():
                    n_points=N_POINTS)
     tx = hybrid_pmf_optimizer(warmup_cosine_lr(1e-3, 100, 10000), 0.9, 1e-5)
     loss_cfg = LossConfig(nclasses=20, alpha=tuple([0.0] + [1.0] * 19))
-    step = make_pmf_train_step(model, tx, loss_cfg)
+    step = make_pmf_train_step(model, tx, loss_cfg, donate=False)
+    # donate=False: these probes wrap/reuse the same state across
+    # variants; the outer jits donate where it matters
     key = jax.random.PRNGKey(0)
     N_IT = 8
 

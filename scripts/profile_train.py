@@ -79,7 +79,9 @@ def main():
     state = TrainState.create({"params": variables["params"],
                                "batch_stats": variables["batch_stats"]}, tx)
     loss_cfg = LossConfig(nclasses=20, alpha=tuple([0.0] + [1.0] * 19))
-    step = make_pmf_train_step(model, tx, loss_cfg)
+    step = make_pmf_train_step(model, tx, loss_cfg, donate=False)
+    # donate=False: these probes wrap/reuse the same state across
+    # variants; the outer jits donate where it matters
 
     key = jax.random.PRNGKey(0)
 
