@@ -185,7 +185,18 @@ def _v2_geometry(key, points, labels, valid, proj_matrix, image,
         from .jitter import color_jitter
         image = color_jitter(jax.random.fold_in(key, 7), image, img_h,
                              img_w, cfg.img_jitter)
-    rgb = _bilinear_sample(image, img_row, img_col, img_h, img_w)
+    if train:
+        rgb = _bilinear_sample(image, img_row, img_col, img_h, img_w)
+    else:
+        # eval fast path: flip=False, θ=0, scale=1 make the inverse map
+        # an integer translation, so the source grid is SEPARABLE
+        # (row depends only on output row, col only on output col) and
+        # the bilinear weights are exactly {0,1}. A row-gather followed
+        # by a col-gather replaces the 4-tap random 2D gather, which
+        # alone cost 356 of the 370 ms/batch V2 preprocessing time at
+        # the EPMF eval config (bilinear output is bit-identical here).
+        rgb = _translated_view(image, img_row[:, 0], img_col[0, :],
+                               img_h, img_w)
     return rows_o, cols_o, keep_out, depth, vals, rgb
 
 
@@ -218,6 +229,21 @@ def build_v2_sample(key, points, labels, valid, proj_matrix, image,
     lab = canvas[..., 5].astype(jnp.int32)
     feature = _v2_normalize(canvas, rgb, mask, cfg)
     return feature, mask, lab, rows_o, cols_o, keep_out, depth
+
+
+def _translated_view(image, row_coords, col_coords, img_h, img_w):
+    """Separable nearest gather for a pure-translation view.
+
+    row_coords [out_h] / col_coords [out_w] are integral floats; pixels
+    outside the true (img_h, img_w) extent are zero (matching
+    _bilinear_sample's bounds)."""
+    Hc, Wc, _ = image.shape
+    r_ok = (row_coords >= 0) & (row_coords <= img_h - 1)
+    c_ok = (col_coords >= 0) & (col_coords <= img_w - 1)
+    iy = jnp.clip(jnp.round(row_coords).astype(jnp.int32), 0, Hc - 1)
+    ix = jnp.clip(jnp.round(col_coords).astype(jnp.int32), 0, Wc - 1)
+    out = image[iy][:, ix]
+    return jnp.where((r_ok[:, None] & c_ok[None, :])[..., None], out, 0.0)
 
 
 def _bilinear_sample(image, rows, cols, img_h, img_w):

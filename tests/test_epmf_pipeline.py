@@ -149,3 +149,30 @@ def test_v2_pallas_fill_matches_scatter(kitti_root, v2_cfg, monkeypatch):
     np.testing.assert_allclose(np.asarray(fs), np.asarray(fp), atol=1e-6)
     for a, b in zip(pts_s, pts_p):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v2_eval_translated_view_equals_bilinear(kitti_root, v2_cfg,
+                                                 monkeypatch):
+    """The eval separable nearest gather is bit-identical to the 4-tap
+    bilinear it replaces (the map is an integer translation at eval)."""
+    import pmf_tpu.data.perspective_pipeline_v2 as v2
+    from pmf_tpu.data.perspective_pipeline_v2 import build_v2_sample
+
+    ds = SemanticKitti(kitti_root, [0])
+    reader = kitti_sample_reader(ds, v2_cfg, use_native=False)
+    s = reader(0)
+    args = (jax.random.PRNGKey(0), jnp.asarray(s["points"]),
+            jnp.asarray(s["labels"]), jnp.asarray(s["valid"]),
+            jnp.asarray(s["proj_matrix"]), jnp.asarray(s["image"]),
+            jnp.asarray(s["img_h"]), jnp.asarray(s["img_w"]))
+
+    fast = build_v2_sample(*args, v2_cfg, False)[0]
+
+    def bilinear_fallback(image, r, c, ih, iw):
+        rows = jnp.broadcast_to(r[:, None], (r.shape[0], c.shape[0]))
+        cols = jnp.broadcast_to(c[None, :], (r.shape[0], c.shape[0]))
+        return v2._bilinear_sample(image, rows, cols, ih, iw)
+
+    monkeypatch.setattr(v2, "_translated_view", bilinear_fallback)
+    slow = build_v2_sample(*args, v2_cfg, False)[0]
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
