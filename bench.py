@@ -16,10 +16,12 @@ result completing implies all N executed.
 Output protocol: the headline eval JSON line is printed THE MOMENT eval
 is measured (insurance against the driver's wall-clock timeout — round 3
 recorded rc=124 and no number at all because setup ate the budget).
-Extra phases (train step, EPMF eval) run only while inside
-BENCH_BUDGET_S (default 420 s) and each reprints the full JSON line with
-their fields added, so the LAST line is always the most complete and
-EVERY line carries the headline {metric, value, unit, vs_baseline}.
+Extra phases (train step, EPMF eval) each run in a SUBPROCESS bounded by
+the remaining BENCH_BUDGET_S (default 420 s): a cold-cache compile that
+overruns kills only that phase, the parent still exits 0 in budget and
+reprints the full JSON line with whatever fields landed — the LAST line
+is always the most complete and EVERY line carries the headline
+{metric, value, unit, vs_baseline}.
 
 vs_baseline: the reference publishes no throughput in-repo (BASELINE.md);
 the north-star target is >2× an A100 running the reference at this
@@ -30,6 +32,8 @@ vs_baseline = value / (2 * 25) and >1.0 beats the target.
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -47,15 +51,27 @@ N_TRAIN_ITERS = 8
 
 T0 = time.perf_counter()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
-# conservative cost estimates per phase (compile/load through the axon
-# relay dominates; measured round 4): used to decide whether a phase
-# still fits the budget BEFORE starting it.
-EST_TRAIN_S = 240.0
-EST_EPMF_S = 150.0
+# minimum remaining budget to even START an extra phase (warm-cache
+# load + import + measure; measured round 4)
+MIN_PHASE_S = 90.0
 
 
 def elapsed():
     return time.perf_counter() - T0
+
+
+def _run_phase(phase: str, timeout_s: float):
+    """Run one extra bench phase in a subprocess with a hard timeout;
+    returns its parsed JSON line or None."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", phase],
+            capture_output=True, text=True, timeout=timeout_s)
+        lines = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith("{")]
+        return json.loads(lines[-1]) if lines else None
+    except (subprocess.TimeoutExpired, json.JSONDecodeError):
+        return None
 
 
 def make_inputs(rng, batch, n_points=N_POINTS, h=H, w=W):
@@ -77,7 +93,15 @@ def make_inputs(rng, batch, n_points=N_POINTS, h=H, w=W):
 
 
 def bench_eval(jax, jnp, model, variables, cfg, args):
-    @jax.jit
+    import functools
+
+    # headline program pinned to DEFAULT codegen effort: the global −0.7
+    # (utils/compiler.py) compiles 3× smaller/faster but costs ~10% eval
+    # throughput at this config (67.4 vs 76.9 scans/s measured) — for
+    # the one driver-recorded number, throughput wins; the secondary
+    # train/EPMF phases keep −0.7 so their cold compiles stay feasible.
+    @functools.partial(jax.jit,
+                       compiler_options={"exec_time_optimization_effort": 0.0})
     def scan_pipeline(variables, eps, points, labels, valid, proj_matrix,
                       image, ih, iw):
         from pmf_tpu.data import build_batch
@@ -118,10 +142,15 @@ def bench_train(jax, jnp, model, variables, args):
 
     # donate the state through the OUTER jit (the inner step is inlined):
     # params + AdamW/SGD moments update in place instead of
-    # double-buffering hundreds of MB every step
+    # double-buffering hundreds of MB every step. Effort pinned to the
+    # DEFAULT: at −0.7 the train-step compile runs >25 min (the backward
+    # pass at 15.7 GB temp apparently defeats low-effort memory fitting)
+    # vs 505 s at default.
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(
+        jax.jit, donate_argnums=(0,),
+        compiler_options={"exec_time_optimization_effort": 0.0})
     def train_iter(state, key, points, labels, valid, proj_matrix, image,
                    ih, iw):
         # fold the per-step key INSIDE the jit: an eager fold_in between
@@ -156,7 +185,7 @@ def bench_epmf_eval(jax, jnp):
     cfg = V2Config(canvas_h=H, canvas_w=W + 16, proj_h=h, proj_w=w,
                    proj_ht=h, proj_wt=w, n_points=N_POINTS)
     model = EPMFNet(nclasses=20, base_channels=32, image_backbone="resnet34",
-                    dtype=jnp.bfloat16)
+                    dtype=jnp.bfloat16, use_packed=True)
     raw = make_inputs(np.random.default_rng(1), BATCH)
     args = tuple(map(jnp.asarray, raw))
 
@@ -191,7 +220,7 @@ def bench_epmf_eval(jax, jnp):
     return BATCH / dt
 
 
-def main():
+def _setup_jax():
     import jax
 
     # persistent compilation cache: the driver re-runs bench each round
@@ -204,13 +233,16 @@ def main():
     configure_compiler()
     import jax.numpy as jnp
 
+    return jax, jnp
+
+
+def _setup_pmf(jax, jnp):
     from pmf_tpu.data import PVConfig
     from pmf_tpu.models import PMFNet
 
     cfg = PVConfig(canvas_h=H, canvas_w=W + 16, proj_h=H, proj_w=W,
                    h_pad=7, w_pad=3, n_points=N_POINTS)
-    rng = np.random.default_rng(0)
-    raw = make_inputs(rng, BATCH)
+    raw = make_inputs(np.random.default_rng(0), BATCH)
 
     model = PMFNet(nclasses=20, base_channels=32, image_backbone="resnet34",
                    dtype=jnp.bfloat16, use_packed=True)
@@ -227,32 +259,60 @@ def main():
     # variables passed as args (not closure constants) → stable compile
     # cache key across runs
     args = tuple(map(jnp.asarray, raw))
+    return cfg, model, variables, args
 
-    eval_sps = bench_eval(jax, jnp, model, variables, cfg, args)
-    result = {
+
+def _headline(eval_sps: float) -> dict:
+    return {
         "metric": "pmf_r34_kitti_eval_scans_per_sec_per_chip",
         "value": round(eval_sps, 2),
         "unit": "scans/sec",
         "vs_baseline": round(eval_sps / TARGET, 3),
     }
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--phase":
+        jax, jnp = _setup_jax()
+        if sys.argv[2] == "eval":
+            cfg, model, variables, args = _setup_pmf(jax, jnp)
+            sps = bench_eval(jax, jnp, model, variables, cfg, args)
+            print(json.dumps(_headline(sps)), flush=True)
+        elif sys.argv[2] == "train":
+            cfg, model, variables, args = _setup_pmf(jax, jnp)
+            sps = bench_train(jax, jnp, model, variables, args)
+            print(json.dumps({
+                "train_metric": "pmf_r34_kitti_train_scans_per_sec_per_chip",
+                "train_value": round(sps, 2), "train_batch": BATCH}),
+                flush=True)
+        elif sys.argv[2] == "epmf":
+            sps = bench_epmf_eval(jax, jnp)
+            print(json.dumps({
+                "epmf_metric": "epmf_r34_kitti_eval_scans_per_sec_per_chip",
+                "epmf_value": round(sps, 2)}), flush=True)
+        return
+
+    jax, jnp = _setup_jax()
+    result = None
+    try:
+        cfg, model, variables, args = _setup_pmf(jax, jnp)
+        result = _headline(bench_eval(jax, jnp, model, variables, cfg, args))
+    except Exception as e:  # transient relay/TPU errors happen
+        print(f"# in-process eval failed ({type(e).__name__}), "
+              "retrying in a subprocess", file=sys.stderr, flush=True)
+        result = _run_phase("eval", max(BUDGET_S - elapsed(), MIN_PHASE_S))
+    if result is None:
+        sys.exit(1)
     print(json.dumps(result), flush=True)  # headline lands NOW
 
-    if elapsed() + EST_TRAIN_S < BUDGET_S:
-        train_sps = bench_train(jax, jnp, model, variables, args)
-        result.update({
-            "train_metric": "pmf_r34_kitti_train_scans_per_sec_per_chip",
-            "train_value": round(train_sps, 2),
-            "train_batch": BATCH,
-        })
-        print(json.dumps(result), flush=True)
-
-    if elapsed() + EST_EPMF_S < BUDGET_S:
-        epmf_sps = bench_epmf_eval(jax, jnp)
-        result.update({
-            "epmf_metric": "epmf_r34_kitti_eval_scans_per_sec_per_chip",
-            "epmf_value": round(epmf_sps, 2),
-        })
-        print(json.dumps(result), flush=True)
+    for phase in ("train", "epmf"):
+        left = BUDGET_S - elapsed()
+        if left < MIN_PHASE_S:
+            break
+        extra = _run_phase(phase, left)
+        if extra:
+            result.update(extra)
+            print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

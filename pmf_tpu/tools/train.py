@@ -83,9 +83,10 @@ class Experiment:
 
 
 def main():
-    from ..utils import configure_compiler
-
-    configure_compiler()  # see pmf_tpu/utils/compiler.py
+    # NOTE: no configure_compiler() here — the low-effort codegen that
+    # speeds up inference programs makes the train-step compile
+    # pathologically slow (>25 min vs ~8 at default; see
+    # pmf_tpu/utils/compiler.py) and costs ~10% step throughput
     parser = argparse.ArgumentParser()
     parser.add_argument("config", help="experiment yaml")
     parser.add_argument("--val-only", action="store_true")
