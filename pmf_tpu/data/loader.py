@@ -31,6 +31,8 @@ def kitti_sample_reader(dataset, cfg: PVConfig,
         use_native = native_loader.available() and getattr(
             dataset, "has_label", True)
 
+    # native PNG covers KITTI image_2; nuScenes CAM_* are JPEG and take
+    # the PIL fallback (the nuscenes reader below doesn't use this path)
     use_native_png = use_native and native_loader.png_available()
 
     def read(index: int) -> dict:
