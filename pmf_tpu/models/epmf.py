@@ -34,14 +34,18 @@ def _dilate_mask(mask: jax.Array, kernel: int, stride: int, dilation: int,
     padding=0, dilation)."""
     ph, pw = padding
     m = jnp.pad(mask, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
-    # scalar -inf init → differentiable max-monoid path; mask is {0,1} so
-    # the result equals a 0-init max
-    return jax.lax.reduce_window(
+    # stop_gradient: the mask chain starts at a comparison (zero grad),
+    # so detaching is mathematically exact — and without it autodiff
+    # emits a SelectAndScatter (max-pool VJP) per SparseVariantConv,
+    # which made the EPMF train-step compile run >25 min at 320×1216
+    # (torch reaches the same dead end through maxpool backward; the
+    # grad dies at the comparison either way)
+    return jax.lax.stop_gradient(jax.lax.reduce_window(
         m, -jnp.inf, jax.lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
         window_dilation=(1, dilation, dilation, 1),
-        padding=((0, 0), (0, 0), (0, 0), (0, 0)))
+        padding=((0, 0), (0, 0), (0, 0), (0, 0))))
 
 
 class SparseVariantConv(nn.Module):
