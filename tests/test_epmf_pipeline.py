@@ -140,15 +140,16 @@ def test_v2_pallas_fill_matches_scatter(kitti_root, v2_cfg, monkeypatch):
 
     cfg_s = dataclasses.replace(v2_cfg, fill="scatter")
     cfg_p = dataclasses.replace(v2_cfg, fill="pallas")
-    fs, ms, ls, pts_s = build_v2_batch(key, *args, cfg_s, False,
-                                       return_points=True)
-    fp, mp, lp, pts_p = build_v2_batch(key, *args, cfg_p, False,
-                                       return_points=True)
-    np.testing.assert_array_equal(np.asarray(ms), np.asarray(mp))
-    np.testing.assert_array_equal(np.asarray(ls), np.asarray(lp))
-    np.testing.assert_allclose(np.asarray(fs), np.asarray(fp), atol=1e-6)
-    for a, b in zip(pts_s, pts_p):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for train in (False, True):  # eval AND the train path (aug + jitter)
+        fs, ms, ls, pts_s = build_v2_batch(key, *args, cfg_s, train,
+                                           return_points=True)
+        fp, mp, lp, pts_p = build_v2_batch(key, *args, cfg_p, train,
+                                           return_points=True)
+        np.testing.assert_array_equal(np.asarray(ms), np.asarray(mp))
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(lp))
+        np.testing.assert_allclose(np.asarray(fs), np.asarray(fp), atol=1e-6)
+        for a, b in zip(pts_s, pts_p):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_v2_eval_translated_view_equals_bilinear(kitti_root, v2_cfg,
