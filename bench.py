@@ -98,8 +98,9 @@ def bench_eval(jax, jnp, model, variables, cfg, args):
     # headline program pinned to DEFAULT codegen effort: the global −0.7
     # (utils/compiler.py) compiles 3× smaller/faster but costs ~10% eval
     # throughput at this config (67.4 vs 76.9 scans/s measured) — for
-    # the one driver-recorded number, throughput wins; the secondary
-    # train/EPMF phases keep −0.7 so their cold compiles stay feasible.
+    # the one driver-recorded number, throughput wins. The train phase
+    # also pins default (−0.7 makes its compile run >25 min, see
+    # bench_train); only the EPMF phase rides the global −0.7.
     @functools.partial(jax.jit,
                        compiler_options={"exec_time_optimization_effort": 0.0})
     def scan_pipeline(variables, eps, points, labels, valid, proj_matrix,
@@ -300,7 +301,11 @@ def main():
     except Exception as e:  # transient relay/TPU errors happen
         print(f"# in-process eval failed ({type(e).__name__}), "
               "retrying in a subprocess", file=sys.stderr, flush=True)
-        result = _run_phase("eval", max(BUDGET_S - elapsed(), MIN_PHASE_S))
+        # never overshoot the budget: if less than a phase's worth of
+        # time remains, give up cleanly rather than risk the driver
+        # killing us mid-retry with no line printed
+        left = BUDGET_S - elapsed()
+        result = _run_phase("eval", left) if left >= MIN_PHASE_S else None
     if result is None:
         sys.exit(1)
     print(json.dumps(result), flush=True)  # headline lands NOW

@@ -118,8 +118,13 @@ int decode_png_to_canvas(const char* path, float* canvas_out,
     const uint8_t* data = &buf[off + 8];
     if (off + 12 + len > size_t(fsize)) return -3;
     if (!std::memcmp(type, "IHDR", 4)) {
+      if (len < 13) return -3;  // truncated IHDR: don't read past it
       W = be32(data);
       H = be32(data + 4);
+      // sanity-bound the header before it sizes allocations: corrupt
+      // W/H would throw bad_alloc across the ctypes boundary (fatal)
+      // instead of the clean negative rc the PIL fallback expects
+      if (W == 0 || H == 0 || W > 65535 || H > 65535) return -4;
       const int bit_depth = data[8], color = data[9], interlace = data[12];
       if (bit_depth != 8 || interlace != 0) return -4;  // uncommon
       switch (color) {
@@ -253,27 +258,6 @@ int decode_png(const char* path, float* canvas_out, int64_t canvas_h,
   std::memset(canvas_out, 0, sizeof(float) * canvas_h * canvas_w * 3);
   return decode_png_to_canvas(path, canvas_out, canvas_h, canvas_w,
                               img_h, img_w);
-}
-
-// Parallel batch: decode B PNGs into [B, canvas_h, canvas_w, 3].
-// Returns the number of failed samples (0 = all good).
-int decode_png_batch(const char** paths, int64_t batch, float* canvas_out,
-                     int64_t canvas_h, int64_t canvas_w, int32_t* img_h,
-                     int32_t* img_w) {
-  std::memset(canvas_out, 0, sizeof(float) * batch * canvas_h * canvas_w * 3);
-  std::atomic<int> failures{0};
-  std::vector<std::thread> threads;
-  threads.reserve(batch);
-  for (int64_t b = 0; b < batch; ++b) {
-    threads.emplace_back([&, b] {
-      if (decode_png_to_canvas(paths[b],
-                               canvas_out + b * canvas_h * canvas_w * 3,
-                               canvas_h, canvas_w, img_h + b, img_w + b))
-        failures.fetch_add(1);
-    });
-  }
-  for (auto& t : threads) t.join();
-  return failures.load();
 }
 
 // One full PV sample in one call (point cloud + labels + image), so the

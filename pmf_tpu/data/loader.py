@@ -32,11 +32,14 @@ def kitti_sample_reader(dataset, cfg: PVConfig,
             dataset, "has_label", True)
 
     # native PNG covers KITTI image_2; nuScenes CAM_* are JPEG and take
-    # the PIL fallback (the nuscenes reader below doesn't use this path)
-    use_native_png = use_native and native_loader.png_available()
+    # the PIL fallback (the nuscenes reader below doesn't use this path).
+    # Mutable so one exotic PNG (palette/16-bit) demotes the whole
+    # reader — without this, every sample would read its point cloud
+    # TWICE (the failed read_scan_full discards the points it loaded).
+    state = {"native_png": use_native and native_loader.png_available()}
 
     def read(index: int) -> dict:
-        if use_native_png:
+        if state["native_png"]:
             # one GIL-dropping call: points + labels + PNG → padded
             # buffers (native/loader.cpp read_scan_full)
             try:
@@ -55,7 +58,7 @@ def kitti_sample_reader(dataset, cfg: PVConfig,
                     "index": np.int32(index),
                 }
             except IOError:
-                pass  # exotic PNG (palette/16-bit) → PIL fallback below
+                state["native_png"] = False  # → PIL path from now on
         if use_native:
             points, labels, valid, _ = native_loader.read_scan(
                 dataset.pointcloud_files[index], dataset.label_files[index],

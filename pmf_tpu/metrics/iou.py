@@ -42,11 +42,12 @@ def confusion_matrix(pred: jax.Array, target: jax.Array, n_classes: int,
     Returns:
       [C, C] float32 matrix with rows=pred, cols=gt.
     """
-    # f32 accumulation is exact only below 2^24 per cell; fail loudly if
-    # a batch ever grows past the point where a single cell could round
-    assert pred.size < 2 ** 24, (
+    # f32 accumulation is exact up to 2^24 per cell (2^24 itself is
+    # representable); fail loudly if a batch could round a cell count.
+    # <= so the flagship 8-chip global batch (64·256·1024 = 2^24) passes.
+    assert pred.size <= 2 ** 24, (
         f"confusion_matrix: {pred.size} elements/call can overflow exact "
-        "f32 cell counts (>= 2^24); split the batch across calls")
+        "f32 cell counts (> 2^24); split the batch across calls")
     pred = pred.reshape(1, -1)
     target = target.reshape(1, -1)
     iota = jnp.arange(n_classes, dtype=jnp.int32)[:, None]

@@ -253,3 +253,36 @@ def test_native_full_scan_reader(kitti_root):
     s = kitti_sample_reader(ds, cfg, use_native=True)(0)
     np.testing.assert_array_equal(s["image"], ref_img)
     np.testing.assert_array_equal(s["points"], ref_pts)
+
+
+def test_native_png_rejects_corrupt_files(tmp_path):
+    """Malformed PNGs return a clean error (negative rc → IOError), not
+    UB/bad_alloc: truncated IHDR, zero/absurd dimensions, bad magic."""
+    from pmf_tpu.data import native
+
+    if not native.png_available():
+        pytest.skip("native loader not built with png support")
+    sig = bytes([137, 80, 78, 71, 13, 10, 26, 10])
+
+    def chunk(typ, data):
+        import struct, zlib as _z
+        return (struct.pack(">I", len(data)) + typ + data +
+                struct.pack(">I", _z.crc32(typ + data)))
+
+    cases = {
+        "badmagic.png": b"NOTAPNG0" + b"\x00" * 32,
+        # IHDR declares len 0 at end of file (would read past the buffer)
+        "truncihdr.png": sig + b"\x00\x00\x00\x00IHDR",
+        # absurd dimensions (would bad_alloc without the sanity bound)
+        "huge.png": sig + chunk(b"IHDR",
+                                b"\xff\xff\xff\xff\xff\xff\xff\xff"
+                                b"\x08\x02\x00\x00\x00"),
+        "zerodim.png": sig + chunk(b"IHDR",
+                                   b"\x00\x00\x00\x00\x00\x00\x00\x10"
+                                   b"\x08\x02\x00\x00\x00"),
+    }
+    for name, blob in cases.items():
+        p = tmp_path / name
+        p.write_bytes(blob)
+        with pytest.raises(IOError):
+            native.decode_png(str(p), 16, 16)
