@@ -17,11 +17,13 @@ Output protocol: the headline eval JSON line is printed THE MOMENT eval
 is measured (insurance against the driver's wall-clock timeout — round 3
 recorded rc=124 and no number at all because setup ate the budget).
 Extra phases (train step, EPMF eval) each run in a SUBPROCESS bounded by
-the remaining BENCH_BUDGET_S (default 420 s): a cold-cache compile that
-overruns kills only that phase, the parent still exits 0 in budget and
-reprints the full JSON line with whatever fields landed — the LAST line
-is always the most complete and EVERY line carries the headline
-{metric, value, unit, vs_baseline}.
+the remaining BENCH_BUDGET_S (default 300 s — round 3's driver kill
+happened somewhere inside 5m15-6m20, so the parent must exit 0 well
+before that): a cold-cache compile or a congested relay kills only that
+phase, the parent still exits 0 in budget and reprints the full JSON
+line with whatever fields landed — the LAST line is always the most
+complete and EVERY line carries the headline {metric, value, unit,
+vs_baseline}. Raise BENCH_BUDGET_S for manual runs wanting all phases.
 
 vs_baseline: the reference publishes no throughput in-repo (BASELINE.md);
 the north-star target is >2× an A100 running the reference at this
@@ -50,7 +52,7 @@ N_ITERS = 15
 N_TRAIN_ITERS = 8
 
 T0 = time.perf_counter()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "300"))
 # minimum remaining budget to even START an extra phase (warm-cache
 # load + import + measure; measured round 4)
 MIN_PHASE_S = 90.0
