@@ -16,10 +16,16 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <new>
 #include <thread>
 #include <vector>
 
 #include <zlib.h>
+
+#include <csetjmp>
+extern "C" {
+#include <jpeglib.h>
+}
 
 namespace {
 
@@ -40,6 +46,10 @@ int64_t read_one(const char* pcd_path, const char* label_path,
   std::fseek(f, 0, SEEK_END);
   const long bytes = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  if (bytes < 0) {  // ftell failure would otherwise wrap to huge n
+    std::fclose(f);
+    return -1;
+  }
   int64_t n = bytes / (sizeof(float) * point_dim);
   if (n > n_max) n = n_max;
   const size_t got =
@@ -98,6 +108,10 @@ int decode_png_to_canvas(const char* path, float* canvas_out,
   std::fseek(f, 0, SEEK_END);
   const long fsize = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  if (fsize < 0) {  // ftell failure: -1 would wrap to a huge size_t
+    std::fclose(f);
+    return -1;
+  }
   std::vector<uint8_t> buf(fsize);
   if (std::fread(buf.data(), 1, fsize, f) != size_t(fsize)) {
     std::fclose(f);
@@ -123,8 +137,13 @@ int decode_png_to_canvas(const char* path, float* canvas_out,
       H = be32(data + 4);
       // sanity-bound the header before it sizes allocations: corrupt
       // W/H would throw bad_alloc across the ctypes boundary (fatal)
-      // instead of the clean negative rc the PIL fallback expects
-      if (W == 0 || H == 0 || W > 65535 || H > 65535) return -4;
+      // instead of the clean negative rc the PIL fallback expects.
+      // Total-pixel bound: 65535×65535 RGBA alone is ~17 GB of raw
+      // buffer; 1<<26 (67 Mpx) comfortably covers every supported
+      // camera (nuScenes 1.4 Mpx, A2D2 2.3 Mpx, KITTI 0.5 Mpx).
+      if (W == 0 || H == 0 || W > 65535 || H > 65535 ||
+          uint64_t(W) * uint64_t(H) > (uint64_t(1) << 26))
+        return -4;
       const int bit_depth = data[8], color = data[9], interlace = data[12];
       if (bit_depth != 8 || interlace != 0) return -4;  // uncommon
       switch (color) {
@@ -213,6 +232,101 @@ int decode_png_to_canvas(const char* path, float* canvas_out,
   return 0;
 }
 
+// ---------------------------------------------------------------- JPEG
+// nuScenes CAM_* frames are JPEG (the PNG-only round-4 decoder left the
+// flagship nuScenes train path decoding in PIL threads). libjpeg is in
+// the base image; we use its error-manager longjmp protocol so a corrupt
+// file returns a negative rc instead of calling exit().
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  std::jmp_buf jump;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  std::longjmp(err->jump, 1);
+}
+
+int decode_jpeg_to_canvas(const char* path, float* canvas_out,
+                          int64_t canvas_h, int64_t canvas_w,
+                          int32_t* img_h, int32_t* img_w) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  std::vector<uint8_t> row;
+  if (setjmp(jerr.jump)) {  // any libjpeg fatal error lands here
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -8;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -8;
+  }
+  cinfo.out_color_space = JCS_RGB;  // gray/YCbCr/CMYK → RGB
+  jpeg_start_decompress(&cinfo);
+  const uint32_t W = cinfo.output_width, H = cinfo.output_height;
+  if (W == 0 || H == 0 || uint64_t(W) * uint64_t(H) > (uint64_t(1) << 26) ||
+      cinfo.output_components != 3) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return -4;
+  }
+  row.resize(size_t(W) * 3);
+  const int64_t out_h = std::min<int64_t>(H, canvas_h);
+  const int64_t out_w = std::min<int64_t>(W, canvas_w);
+  while (cinfo.output_scanline < H) {
+    uint8_t* rows[1] = {row.data()};
+    jpeg_read_scanlines(&cinfo, rows, 1);
+    const int64_t y = int64_t(cinfo.output_scanline) - 1;
+    if (y < out_h) {
+      float* dst = canvas_out + (y * canvas_w) * 3;
+      for (int64_t x = 0; x < out_w; ++x) {
+        dst[x * 3 + 0] = row[size_t(x) * 3 + 0] / 255.0f;
+        dst[x * 3 + 1] = row[size_t(x) * 3 + 1] / 255.0f;
+        dst[x * 3 + 2] = row[size_t(x) * 3 + 2] / 255.0f;
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  *img_h = int32_t(out_h);
+  *img_w = int32_t(out_w);
+  return 0;
+}
+
+// Sniff the signature and dispatch PNG/JPEG; bad_alloc (e.g. from a
+// header that passed the bounds but exceeds RAM) becomes a clean rc so
+// the exception never crosses the ctypes boundary.
+int decode_image_to_canvas(const char* path, float* canvas_out,
+                           int64_t canvas_h, int64_t canvas_w,
+                           int32_t* img_h, int32_t* img_w) {
+  uint8_t magic[2] = {0, 0};
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  const size_t got = std::fread(magic, 1, 2, f);
+  std::fclose(f);
+  if (got != 2) return -1;
+  try {
+    if (magic[0] == 0xFF && magic[1] == 0xD8)
+      return decode_jpeg_to_canvas(path, canvas_out, canvas_h, canvas_w,
+                                   img_h, img_w);
+    return decode_png_to_canvas(path, canvas_out, canvas_h, canvas_w,
+                                img_h, img_w);
+  } catch (const std::bad_alloc&) {
+    return -9;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -251,13 +365,20 @@ int64_t read_scan(const char* pcd_path, const char* label_path,
                   point_dim, points_out, labels_out, valid_out);
 }
 
-// Decode one PNG onto a pre-zeroed float32 canvas [canvas_h, canvas_w,
-// 3], /255, image top-left (pad_image semantics). 0 on success.
+// Decode one PNG or JPEG (signature-sniffed) onto a pre-zeroed float32
+// canvas [canvas_h, canvas_w, 3], /255, image top-left (pad_image
+// semantics). 0 on success.
+int decode_image(const char* path, float* canvas_out, int64_t canvas_h,
+                 int64_t canvas_w, int32_t* img_h, int32_t* img_w) {
+  std::memset(canvas_out, 0, sizeof(float) * canvas_h * canvas_w * 3);
+  return decode_image_to_canvas(path, canvas_out, canvas_h, canvas_w,
+                                img_h, img_w);
+}
+
+// Back-compat alias (pre-JPEG builds exported decode_png only).
 int decode_png(const char* path, float* canvas_out, int64_t canvas_h,
                int64_t canvas_w, int32_t* img_h, int32_t* img_w) {
-  std::memset(canvas_out, 0, sizeof(float) * canvas_h * canvas_w * 3);
-  return decode_png_to_canvas(path, canvas_out, canvas_h, canvas_w,
-                              img_h, img_w);
+  return decode_image(path, canvas_out, canvas_h, canvas_w, img_h, img_w);
 }
 
 // One full PV sample in one call (point cloud + labels + image), so the
@@ -274,8 +395,8 @@ int64_t read_scan_full(const char* pcd_path, const char* label_path,
                              valid_out);
   if (n < 0) return -1;
   std::memset(canvas_out, 0, sizeof(float) * canvas_h * canvas_w * 3);
-  if (decode_png_to_canvas(image_path, canvas_out, canvas_h, canvas_w,
-                           img_h, img_w))
+  if (decode_image_to_canvas(image_path, canvas_out, canvas_h, canvas_w,
+                             img_h, img_w))
     return -2;
   return n;
 }

@@ -31,16 +31,19 @@ def kitti_sample_reader(dataset, cfg: PVConfig,
         use_native = native_loader.available() and getattr(
             dataset, "has_label", True)
 
-    # native PNG covers KITTI image_2; nuScenes CAM_* are JPEG and take
-    # the PIL fallback (the nuscenes reader below doesn't use this path).
-    # Mutable so one exotic PNG (palette/16-bit) demotes the whole
-    # reader — without this, every sample would read its point cloud
-    # TWICE (the failed read_scan_full discards the points it loaded).
-    state = {"native_png": use_native and native_loader.png_available()}
+    # native decode covers PNG (KITTI image_2) and JPEG (nuScenes CAM_*).
+    # An exotic file (palette/16-bit/interlaced PNG) falls back to PIL
+    # for THAT image only, keeping the native point read; only after
+    # several consecutive decode failures is the whole reader demoted
+    # (a dataset that's wholly exotic shouldn't pay a failed native
+    # attempt per sample).
+    state = {"native_img": use_native and native_loader.image_available(),
+             "img_failures": 0}
+    MAX_CONSECUTIVE_IMG_FAILURES = 3
 
     def read(index: int) -> dict:
-        if state["native_png"]:
-            # one GIL-dropping call: points + labels + PNG → padded
+        if state["native_img"]:
+            # one GIL-dropping call: points + labels + image → padded
             # buffers (native/loader.cpp read_scan_full)
             try:
                 (points, labels, valid, image, img_h, img_w,
@@ -49,6 +52,7 @@ def kitti_sample_reader(dataset, cfg: PVConfig,
                     dataset.label_files[index],
                     dataset.image_files[index], dataset.class_map_lut,
                     cfg.n_points, cfg.canvas_h, cfg.canvas_w)
+                state["img_failures"] = 0
                 seq, _ = dataset.parsePathInfoByIndex(index)
                 return {
                     "points": points, "labels": labels, "valid": valid,
@@ -58,7 +62,9 @@ def kitti_sample_reader(dataset, cfg: PVConfig,
                     "index": np.int32(index),
                 }
             except IOError:
-                state["native_png"] = False  # → PIL path from now on
+                state["img_failures"] += 1
+                if state["img_failures"] >= MAX_CONSECUTIVE_IMG_FAILURES:
+                    state["native_img"] = False
         if use_native:
             points, labels, valid, _ = native_loader.read_scan(
                 dataset.pointcloud_files[index], dataset.label_files[index],

@@ -43,11 +43,15 @@ def load_library():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64)]
     if hasattr(lib, "decode_png"):
-        lib.decode_png.restype = ctypes.c_int
-        lib.decode_png.argtypes = [
+        # decode_image sniffs PNG vs JPEG; decode_png is a back-compat
+        # alias in current builds (pre-JPEG builds export only it)
+        decoder = getattr(lib, "decode_image", lib.decode_png)
+        decoder.restype = ctypes.c_int
+        decoder.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib._decode_image = decoder
         lib.read_scan_full.restype = ctypes.c_int64
         lib.read_scan_full.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
@@ -68,6 +72,11 @@ def available() -> bool:
 def png_available() -> bool:
     lib = load_library()
     return lib is not None and hasattr(lib, "decode_png")
+
+
+def image_available() -> bool:
+    """True when the native image decoder (PNG + JPEG dispatch) exists."""
+    return png_available()
 
 
 def _ptr(arr, ctype):
@@ -121,21 +130,26 @@ def read_scan_batch(pcd_paths, label_paths, label_lut: np.ndarray,
     return points, labels, valid.astype(bool), counts
 
 
-def decode_png(path: str, canvas_h: int, canvas_w: int):
-    """Decode a PNG straight onto the float canvas (pad_image semantics:
-    top-left, /255, zero padding). Returns (canvas [H,W,3] f32, img_h,
-    img_w). 8-bit gray/RGB/RGBA non-interlaced; raises on exotic files
-    (callers fall back to PIL)."""
+def decode_image(path: str, canvas_h: int, canvas_w: int):
+    """Decode a PNG or JPEG straight onto the float canvas (pad_image
+    semantics: top-left, /255, zero padding). Returns (canvas [H,W,3]
+    f32, img_h, img_w). PNG: 8-bit gray/RGB/RGBA non-interlaced; JPEG:
+    baseline/progressive via libjpeg. Raises on exotic files (callers
+    fall back to PIL)."""
     lib = load_library()
-    assert lib is not None and hasattr(lib, "decode_png")
+    assert lib is not None and hasattr(lib, "_decode_image")
     canvas = np.empty((canvas_h, canvas_w, 3), np.float32)
     h = ctypes.c_int32()
     w = ctypes.c_int32()
-    rc = lib.decode_png(path.encode(), _ptr(canvas, ctypes.c_float),
-                        canvas_h, canvas_w, ctypes.byref(h), ctypes.byref(w))
+    rc = lib._decode_image(path.encode(), _ptr(canvas, ctypes.c_float),
+                           canvas_h, canvas_w, ctypes.byref(h),
+                           ctypes.byref(w))
     if rc != 0:
-        raise IOError(f"native png decode failed ({rc}): {path}")
+        raise IOError(f"native image decode failed ({rc}): {path}")
     return canvas, np.int32(h.value), np.int32(w.value)
+
+
+decode_png = decode_image  # back-compat name
 
 
 def read_scan_full(pcd_path: str, label_path: str | None, image_path: str,

@@ -136,7 +136,10 @@ class SemanticKitti:
     def loadImage(self, index: int) -> np.ndarray:
         from PIL import Image
 
-        return np.asarray(Image.open(self.image_files[index]))
+        img = Image.open(self.image_files[index])
+        if img.mode != "RGB":  # palette/gray frames → 3-channel
+            img = img.convert("RGB")
+        return np.asarray(img)
 
     def labelMapping(self, label: np.ndarray) -> np.ndarray:
         return self.class_map_lut[label]

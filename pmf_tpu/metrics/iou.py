@@ -45,9 +45,12 @@ def confusion_matrix(pred: jax.Array, target: jax.Array, n_classes: int,
     # f32 accumulation is exact up to 2^24 per cell (2^24 itself is
     # representable); fail loudly if a batch could round a cell count.
     # <= so the flagship 8-chip global batch (64·256·1024 = 2^24) passes.
-    assert pred.size <= 2 ** 24, (
-        f"confusion_matrix: {pred.size} elements/call can overflow exact "
-        "f32 cell counts (> 2^24); split the batch across calls")
+    # ValueError (not assert): `python -O` must not silently disable
+    # this invariant and return subtly rounded counts.
+    if pred.size > 2 ** 24:
+        raise ValueError(
+            f"confusion_matrix: {pred.size} elements/call can overflow "
+            "exact f32 cell counts (> 2^24); split the batch across calls")
     pred = pred.reshape(1, -1)
     target = target.reshape(1, -1)
     iota = jnp.arange(n_classes, dtype=jnp.int32)[:, None]

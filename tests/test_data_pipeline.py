@@ -286,3 +286,73 @@ def test_native_png_rejects_corrupt_files(tmp_path):
         p.write_bytes(blob)
         with pytest.raises(IOError):
             native.decode_png(str(p), 16, 16)
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    """native decode_image on JPEG (nuScenes CAM_* frames are JPEG) vs
+    PIL + pad_image: same extents, near-identical pixels (IDCT
+    implementations may differ by ±1/255 between libjpeg builds)."""
+    from PIL import Image
+
+    from pmf_tpu.data import native, pad_image
+
+    if not native.image_available():
+        pytest.skip("native loader not built with image support")
+    rng = np.random.default_rng(3)
+    # smooth-ish image so JPEG error stays small but filters engage
+    base = rng.integers(0, 255, (12, 18, 3), dtype=np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((96, 48))).astype(np.uint8)
+    p = tmp_path / "cam.jpg"
+    Image.fromarray(img).save(p, quality=92)
+
+    ch, cw = 64, 112
+    ref, rh, rw = pad_image(np.asarray(Image.open(p)), ch, cw)
+    got, gh, gw = native.decode_image(str(p), ch, cw)
+    assert (gh, gw) == (rh, rw) == (48, 96)
+    assert np.abs(got - ref).max() <= 2.0 / 255.0 + 1e-6
+    assert np.mean(np.abs(got - ref)) < 0.5 / 255.0
+    # padding stays zero
+    assert np.all(got[48:] == 0) and np.all(got[:, 96:] == 0)
+
+    with pytest.raises(IOError):
+        native.decode_image(str(tmp_path / "missing.jpg"), 16, 16)
+    bad = tmp_path / "trunc.jpg"
+    bad.write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(IOError):
+        native.decode_image(str(bad), 16, 16)
+
+
+def test_exotic_image_falls_back_per_file(kitti_root):
+    """One exotic (palette) PNG must not demote the whole reader: the
+    failing sample takes the PIL path, subsequent samples decode
+    natively again (loader.py consecutive-failure policy)."""
+    import shutil
+
+    from PIL import Image
+
+    from pmf_tpu.data import native
+    from pmf_tpu.data.loader import kitti_sample_reader
+
+    if not native.image_available():
+        pytest.skip("native loader not built with image support")
+    root = os.path.join(os.path.dirname(kitti_root), "kitti_exotic")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    shutil.copytree(kitti_root, root)
+    img_path = os.path.join(root, "00", "image_2", "000001.png")
+    Image.open(img_path).convert("P").save(img_path)  # palette PNG
+
+    ds = SemanticKitti(root, [0])
+    cfg = PVConfig(canvas_h=64, canvas_w=160, proj_h=64, proj_w=160,
+                   n_points=1024)
+    reader = kitti_sample_reader(ds, cfg, use_native=True)
+    s0 = reader(0)   # native
+    s1 = reader(1)   # exotic → per-file PIL fallback
+    s2 = reader(2)   # native again
+
+    plain = kitti_sample_reader(ds, cfg, use_native=False)
+    for s, i in ((s0, 0), (s1, 1), (s2, 2)):
+        ref = plain(i)
+        np.testing.assert_array_equal(s["points"], ref["points"])
+        np.testing.assert_allclose(s["image"], ref["image"], atol=1e-6)
+    shutil.rmtree(root)
