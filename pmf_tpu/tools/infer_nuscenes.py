@@ -146,9 +146,29 @@ class NuscenesInference:
                 pt_pred = knn_postprocess(
                     proj_depth, depth, argmax2d, cols_c, rows_c, valid=keep,
                     nclasses=self.opts.nclasses, **self.knn_params)
+                if self.is_v2:
+                    # EPMF parity: the reference also pushes the CONFIDENCE
+                    # map through the voting KNN before the 6-camera merge
+                    # (tasks/epmf_eval_nuscenes/infer.py:155-161). Because
+                    # that KNN truncates its value map to ints (knn.py:118
+                    # .long()), conf∈[0,1) votes as class 0, the 1..C-1
+                    # vote argmax is 0, and the output is identically 1 —
+                    # so with --knn the merge effectively becomes
+                    # first-camera-wins at overlaps. We reproduce the same
+                    # chain (our knn_postprocess truncates identically)
+                    # rather than the raw-gather conf, to match which
+                    # camera wins in the reference.
+                    pt_conf = knn_postprocess(
+                        proj_depth, depth, conf2d, cols_c, rows_c,
+                        valid=keep, nclasses=self.opts.nclasses,
+                        **self.knn_params).astype(jnp.float32)
+                else:
+                    # PMF parity: conf stays a raw gather
+                    # (tasks/pmf_eval_nuscenes/infer.py:165)
+                    pt_conf = conf2d[rows_c, cols_c]
             else:
                 pt_pred = argmax2d[rows_c, cols_c]
-            pt_conf = conf2d[rows_c, cols_c]
+                pt_conf = conf2d[rows_c, cols_c]
             pt_pred = np.where(np.asarray(keep), np.asarray(pt_pred), 0)
             pt_conf = np.where(np.asarray(keep), np.asarray(pt_conf), -1.0)
 

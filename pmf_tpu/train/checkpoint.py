@@ -49,7 +49,15 @@ class CheckpointManager:
         self._ckpt.wait_until_finished()
 
     def restore_weights(self, path: str, template: dict) -> dict:
-        return self._ckpt.restore(os.path.abspath(path), target=template)
+        try:
+            return self._ckpt.restore(os.path.abspath(path), target=template)
+        except ValueError:
+            # tree-structure mismatch — e.g. an MTLoss training run saves
+            # params.mt_sigma alongside the model weights, which an
+            # inference template doesn't carry. Fall back to the tolerant
+            # partial-match load (tasks/pmf/main.py:55-66 semantics).
+            raw = self._ckpt.restore(os.path.abspath(path))
+            return partial_load(template, raw)
 
 
 def partial_load(target: dict, source: dict, log=None) -> dict:

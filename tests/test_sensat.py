@@ -97,6 +97,10 @@ def sensat_root(tmp_path_factory):
                 "class": rng.integers(0, 13, n).astype(np.uint8),
             }
             write_ply(os.path.join(root, split, f"block_{b}.ply"), fields)
+            # per-point label dump next to the frames (the reference's
+            # extract_label.py output, read by readLabelByIndex)
+            fields["class"].astype(np.uint8).tofile(
+                os.path.join(root, split, f"block_{b}.bin"))
     assert prepare_bev_frames(root, "train") == 2
     assert prepare_bev_frames(root, "val") == 2
     return root
@@ -184,8 +188,22 @@ def test_sensat_experiment_and_tta_eval(sensat_root, tmp_path):
                           save_preds=preds)
     out = inf.run(max_frames=1)
     assert np.isfinite(out["mIoU"])
+    assert "point_mIoU" in out  # 3D point eval vs the .bin label dump
     labels = [f for f in os.listdir(preds) if f.endswith(".label")]
     assert len(labels) == 1
     pred = np.fromfile(os.path.join(preds, labels[0]), np.uint8)
     assert pred.shape[0] == 3000  # one label per point
     assert pred.max() <= 12
+
+    # KNN lift (ref tasks/sensat_urban/pmf_eval/infer.py:186-198):
+    # per-point labels via KNN over (max-height map, per-point z)
+    preds_knn = str(tmp_path / "preds_knn")
+    inf_knn = SensatInference(opts, best_dir, scales=[32], use_tta=False,
+                              use_knn=True, save_preds=preds_knn)
+    out_knn = inf_knn.run(max_frames=1)
+    assert np.isfinite(out_knn["mIoU"])
+    pred_knn = np.fromfile(
+        os.path.join(preds_knn, labels[0]), np.uint8)
+    assert pred_knn.shape[0] == 3000
+    assert pred_knn.max() <= 12
+    assert "point_mIoU" in out_knn
