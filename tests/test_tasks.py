@@ -118,6 +118,78 @@ def test_nuscenes_merge_inference(nusc_root, tmp_path):
     assert pred.shape[0] == 300
 
 
+def _load_shipped_config(name, **top_overrides):
+    """Load a config shipped in configs/experiments/ (the test exercises
+    the real file, not a copy of its contents)."""
+    from pmf_tpu.config import load_options
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "experiments", name)
+    return load_options(path, top_overrides)
+
+
+def test_epmf_nuscenes_config_e2e(nusc_root, tmp_path):
+    """The TPAMI headline path: shipped epmf_nuscenes.yaml (EPMFNet +
+    nuScenes + MultiTaskLoss + V2 pipeline) trains a debug epoch on the
+    mini fixture and evaluates with the 6-cam merge."""
+    opts = _load_shipped_config(
+        "epmf_nuscenes.yaml",
+        save_path=str(tmp_path / "exp"), data_root=nusc_root,
+        is_debug=True, n_epochs=1, batch_size=(1, 1), n_threads=2,
+        base_channels=8, imagenet_pretrained=False,
+        compute_dtype="float32", use_packed=False, mesh_data=1)
+    assert opts.net_type == "EPMFNet" and opts.nclasses == 17
+    assert opts.config.get("use_mtloss") is True
+    assert len(opts.config["cls_freq"]) == 17
+    # shrink the V2 projection for the CPU fixture; every other shipped
+    # key (mtloss, cls_freq, jitter, means) is exercised as-is
+    opts.config["PVconfig"].update(
+        {"canvas_h": 224, "canvas_w": 400, "proj_h": 64, "proj_w": 192,
+         "proj_ht": 64, "proj_wt": 192, "n_points": 512})
+    opts.config["nusc_version"] = "v1.0-mini"
+
+    from pmf_tpu.tools.train import Experiment
+
+    exp = Experiment(opts)
+    best = exp.run()
+    assert np.isfinite(best["IOU"])
+    # MultiTaskLoss sigmas live in the param pytree and get trained
+    assert "mt_sigma" in exp.trainer.state.params
+
+    from pmf_tpu.tools.infer_nuscenes import NuscenesInference
+
+    best_dir = os.path.join(exp.trainer.ckpt.directory, "best_last_model")
+    inf = NuscenesInference(opts, best_dir, split="train",
+                            save_preds=str(tmp_path / "preds"))
+    out = inf.run()
+    assert out["frames"] == 2
+    assert np.isfinite(out["mIoU"])
+
+
+def test_salsanext_nuscenes_config_e2e(nusc_root, tmp_path):
+    """Shipped salsanext_nuscenes.yaml (32-beam spherical projection,
+    fov +10/-30) trains a debug epoch on the mini fixture."""
+    opts = _load_shipped_config(
+        "salsanext_nuscenes.yaml",
+        save_path=str(tmp_path / "exp"), data_root=nusc_root,
+        is_debug=True, n_epochs=1, batch_size=(2, 2), n_threads=2,
+        base_channels=8, mesh_data=1)
+    assert opts.net_type == "SalsaNext" and opts.nclasses == 17
+    sensor = opts.group("sensor")
+    assert (sensor["proj_h"], sensor["fov_up"], sensor["fov_down"]) == \
+        (32, 10.0, -30.0)
+    # shrink the range image for the CPU fixture
+    opts.config["sensor"].update({"proj_h": 16, "proj_w": 128,
+                                  "n_points": 512})
+    opts.config["nusc_version"] = "v1.0-mini"
+
+    from pmf_tpu.tools.train import Experiment
+
+    exp = Experiment(opts)
+    best = exp.run()
+    assert np.isfinite(best["IOU"])
+
+
 def test_submission_merge(tmp_path):
     from pmf_tpu.tools.merge_nuscenes_submission import merge_predictions
 
