@@ -1,3 +1,3 @@
-from .options import Options, load_options
+from .options import Options, check_run_dir, load_options
 
-__all__ = ["Options", "load_options"]
+__all__ = ["Options", "check_run_dir", "load_options"]

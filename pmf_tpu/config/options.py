@@ -81,6 +81,43 @@ class Options:
 _RENAMES = {"lambda": "lambda_"}
 
 
+def check_run_dir(run_dir: str, policy: str = "auto") -> None:
+    """Guard against silently reusing an existing experiment dir.
+
+    Parity: tasks/pmf/option.py:70-81 (check_path) prompts
+    d(delete)/q(quit) when the run dir exists. Non-interactive TPU jobs
+    must not hang on input(), so the behavior is policy-gated:
+
+      auto   — prompt when stdin is a TTY, else warn and reuse;
+      ask    — always prompt d(delete)/q(quit) (reference behavior);
+      reuse  — keep going in the existing dir (pre-round-5 behavior);
+      delete — rm -rf the dir, no questions;
+      abort  — raise OSError if the dir exists.
+    """
+    import shutil
+    import sys
+
+    if not os.path.exists(run_dir):
+        return
+    if policy == "auto":
+        policy = "ask" if sys.stdin.isatty() else "reuse"
+        if policy == "reuse":
+            print(f"warning: reusing existing run dir {run_dir} "
+                  "(set overwrite_policy: delete/abort to change)",
+                  file=sys.stderr)
+            return
+    if policy == "reuse":
+        return
+    if policy == "ask":
+        print(f"file exist: {run_dir}")
+        action = input("Select Action: d(delete) / q(quit): ").lower().strip()
+        policy = "delete" if action == "d" else "abort"
+    if policy == "delete":
+        shutil.rmtree(run_dir)
+        return
+    raise OSError(f"Directory exists: {run_dir}")
+
+
 def load_options(path: str, overrides: dict | None = None) -> Options:
     with open(path) as f:
         raw = yaml.safe_load(f)

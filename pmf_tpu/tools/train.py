@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-from ..config import load_options
+from ..config import check_run_dir, load_options
 from ..parallel import init_distributed
 from ..train import Recorder, Trainer
 from ..utils import is_main_process
@@ -91,6 +91,10 @@ def main():
     parser.add_argument("config", help="experiment yaml")
     parser.add_argument("--val-only", action="store_true")
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--overwrite-policy", default=None,
+                        choices=["auto", "ask", "reuse", "delete", "abort"],
+                        help="what to do when the run dir already exists "
+                             "(default: config overwrite_policy, else auto)")
     args = parser.parse_args()
 
     init_distributed()
@@ -100,6 +104,9 @@ def main():
     if args.debug:
         overrides["is_debug"] = True
     opts = load_options(args.config, overrides)
+    if is_main_process():
+        check_run_dir(opts.run_dir, args.overwrite_policy or
+                      opts.config.get("overwrite_policy", "auto"))
     Experiment(opts).run()
 
 
