@@ -35,7 +35,8 @@ from ..ops.projection import yaw_crop_project
 from ..ops.scatter import fill_canvas, zbuffer_scatter_packed
 from .augment import AugmentConfig, augment_pointcloud
 
-_INF = jnp.float32(1e30)
+# numpy scalar (module-level jnp would init the backend at import)
+_INF = np.float32(1e30)
 
 
 @dataclass(frozen=True)

@@ -14,10 +14,13 @@ import jax.numpy as jnp
 
 from .weighted_smoothl1 import weighted_smooth_l1
 
-_LAPLACIAN = jnp.array(
+import numpy as np
+
+# numpy constant (module-level jnp would init the backend at import)
+_LAPLACIAN = np.array(
     [[-0.125, -0.125, -0.125],
      [-0.125, 1.0, -0.125],
-     [-0.125, -0.125, -0.125]], dtype=jnp.float32)
+     [-0.125, -0.125, -0.125]], dtype=np.float32)
 
 
 def _divergence_map(x: jax.Array) -> jax.Array:

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 from .reduce import argmax_last
 import numpy as np
 
-_INF = jnp.float32(np.inf)
+# numpy (not jnp) scalar: a module-level jnp constant would initialize
+# the device backend at import time — host-only tools must be able to
+# import pmf_tpu without touching the TPU relay
+_INF = np.float32(np.inf)
 
 
 def gaussian_kernel2d(kernel_size: int = 3, sigma: float = 2.0) -> np.ndarray:

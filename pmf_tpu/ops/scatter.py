@@ -20,8 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BIG = jnp.float32(3.4e38)
-_IMAX = jnp.int32(2**31 - 1)
+# numpy scalars (module-level jnp would init the backend at import)
+_BIG = np.float32(3.4e38)
+_IMAX = np.int32(2**31 - 1)
 
 
 def zbuffer_scatter_packed(rows: jax.Array, cols: jax.Array, depth: jax.Array,

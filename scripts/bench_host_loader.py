@@ -20,6 +20,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# host-only benchmark: never let a stray jnp call reach for the TPU
+# relay (a hung handshake would stall the whole measurement)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 IMG_H, IMG_W = 376, 1241
 N_POINTS = 32768
 BUCKET = 32768
@@ -109,6 +115,41 @@ def main():
               f"host sustains ~{r2 * max(n_cores - 2, 1):.0f} scans/s")
     else:
         print("native png loader not built (make -C native)")
+
+    # ---- nuScenes-style JPEG camera frame decode (900x1600) ----------
+    # the nuScenes train path decodes 6 camera JPEGs per keyframe; this
+    # measures the per-image decode+canvas rate of PIL vs the native
+    # libjpeg path (decode_image writes the /255 float canvas directly)
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:900, 0:1600]
+    base = (96 + 64 * np.sin(yy / 37.0) + 48 * np.cos(xx / 53.0))
+    img = np.stack([base, base * 0.9, base * 1.1], -1)
+    img = np.clip(img + rng.normal(0, 12, img.shape), 0, 255).astype(np.uint8)
+    jpg = os.path.join(root, "cam.jpg")
+    Image.fromarray(img).save(jpg, quality=90)
+
+    from pmf_tpu.data.perspective_pipeline import pad_image
+
+    n_img = min(n_scans, 48)
+
+    t0 = time.perf_counter()
+    for _ in range(n_img):
+        pad_image(np.asarray(Image.open(jpg)), 900, 1600)
+    pil_rate = n_img / (time.perf_counter() - t0)
+    print(f"{'JPEG 900x1600 PIL+pad_image':32s} workers=1  "
+          f"{pil_rate:7.1f} imgs/s ({1000 / pil_rate:.1f} ms/img)")
+    if native.image_available():
+        native.decode_image(jpg, 900, 1600)  # warm
+        t0 = time.perf_counter()
+        for _ in range(n_img):
+            native.decode_image(jpg, 900, 1600)
+        nat_rate = n_img / (time.perf_counter() - t0)
+        print(f"{'JPEG 900x1600 native libjpeg':32s} workers=1  "
+              f"{nat_rate:7.1f} imgs/s ({1000 / nat_rate:.1f} ms/img); "
+              f"{nat_rate / pil_rate:.2f}x PIL; 6 cams/keyframe -> "
+              f"~{nat_rate / 6:.1f} keyframes/s/core")
 
 
 if __name__ == "__main__":
