@@ -113,7 +113,8 @@ def pmf_losses(lidar_pred, camera_pred, label, cfg: LossConfig,
     return total, aux
 
 
-def make_pmf_train_step(model, tx, cfg: LossConfig, donate: bool = True):
+def make_pmf_train_step(model, tx, cfg: LossConfig, donate: bool = True,
+                        remat: bool = False):
     """Build the jitted fused train step.
 
     step(state, feature [B,H,W,8], label [B,H,W], key) →
@@ -125,7 +126,22 @@ def make_pmf_train_step(model, tx, cfg: LossConfig, donate: bool = True):
     updates them in place instead of double-buffering every step; the
     caller must not reuse the state it passed in (the trainer's
     `self.state, _ = step(self.state, ...)` pattern is safe).
+
+    remat=True wraps the forward in jax.checkpoint: the backward
+    recomputes activations instead of keeping them live — trades ~1/3
+    extra forward FLOPs for a much smaller live set (the default-effort
+    backward holds 15.7 GB of temps at the flagship shape, deep in
+    spill territory).
     """
+
+    def apply_fn(model_params, batch_stats, pcd, img, key):
+        return model.apply(
+            {"params": model_params, "batch_stats": batch_stats},
+            pcd, img, train=True,
+            rngs={"dropout": key}, mutable=["batch_stats"])
+
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, feature, label, key, points=None):
@@ -136,10 +152,8 @@ def make_pmf_train_step(model, tx, cfg: LossConfig, donate: bool = True):
             mt_sigma = params.get("mt_sigma") if isinstance(params, dict) else None
             model_params = {k: v for k, v in params.items() if k != "mt_sigma"} \
                 if mt_sigma is not None else params
-            (lidar_pred, camera_pred), mutated = model.apply(
-                {"params": model_params, "batch_stats": state.batch_stats},
-                pcd, img, train=True,
-                rngs={"dropout": key}, mutable=["batch_stats"])
+            (lidar_pred, camera_pred), mutated = apply_fn(
+                model_params, state.batch_stats, pcd, img, key)
             total, aux = pmf_losses(lidar_pred, camera_pred, label, cfg,
                                     mt_sigma, points)
             return total, (mutated["batch_stats"], aux, lidar_pred, camera_pred)

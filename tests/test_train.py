@@ -79,6 +79,30 @@ def test_pmf_train_step_runs_and_learns():
                  state0.params["camera_stream_encoder"]) > 0
 
 
+def test_pmf_train_step_remat_is_exact():
+    """remat=True (jax.checkpoint around the forward) must produce the
+    SAME loss and parameter update — it only changes what the backward
+    keeps live vs recomputes."""
+    nclasses = 6
+    cfg = LossConfig(nclasses=nclasses,
+                     alpha=tuple([0.0] + [1.0] * (nclasses - 1)),
+                     lambda_=1.0, gamma=0.5, tau=0.7)
+    rng = np.random.default_rng(2)
+    feature = jnp.asarray(rng.normal(size=(2, 32, 48, 8)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, nclasses, size=(2, 32, 48)))
+
+    results = []
+    for remat in (False, True):
+        model, tx, state = _tiny_pmf_state(nclasses)
+        step = make_pmf_train_step(model, tx, cfg, donate=False, remat=remat)
+        state, aux = step(state, feature, label, jax.random.PRNGKey(7))
+        results.append((float(aux["loss"]), state.params))
+    assert results[0][0] == results[1][0]
+    for a, b in zip(jax.tree_util.tree_leaves(results[0][1]),
+                    jax.tree_util.tree_leaves(results[1][1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pmf_eval_step():
     nclasses = 6
     model, tx, state = _tiny_pmf_state(nclasses)
