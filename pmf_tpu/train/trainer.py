@@ -355,7 +355,9 @@ class Trainer:
             tau=opts.tau, use_mtloss=bool(opts.config.get("use_mtloss")),
             use_dice=self.is_sensat)
         if self.is_fusion:
-            self.train_step = make_pmf_train_step(self.model, self.tx, self.loss_cfg)
+            self.train_step = make_pmf_train_step(
+                self.model, self.tx, self.loss_cfg,
+                remat=bool(opts.config.get("remat")))
             self.eval_step = make_pmf_eval_step(self.model, self.loss_cfg)
 
             @jax.jit

@@ -5,9 +5,7 @@ import pytest
 
 from pmf_tpu.utils.flops import count_flops, jaxpr_flops
 
-pytestmark = pytest.mark.smoke
-
-
+@pytest.mark.smoke
 def test_dense_matmul():
     def f(x, w):
         return x @ w
@@ -17,6 +15,7 @@ def test_dense_matmul():
     assert count_flops(f, x, w) == 2 * 8 * 32 * 64
 
 
+@pytest.mark.smoke
 def test_conv2d_same():
     from jax import lax
 
@@ -31,6 +30,7 @@ def test_conv2d_same():
     assert count_flops(f, x, k) == 2 * (2 * 16 * 20 * 8) * (3 * 3 * 3)
 
 
+@pytest.mark.smoke
 def test_grouped_conv_counts_per_group_cin():
     from jax import lax
 
@@ -44,6 +44,7 @@ def test_grouped_conv_counts_per_group_cin():
     assert count_flops(f, x, k) == 2 * (1 * 8 * 8 * 16) * (3 * 3 * 4)
 
 
+@pytest.mark.smoke
 def test_recurses_into_jit_and_grad():
     def f(x, w):
         return (x @ w).sum()
@@ -57,6 +58,7 @@ def test_recurses_into_jit_and_grad():
     assert fwdbwd == 3 * fwd
 
 
+@pytest.mark.smoke
 def test_scan_multiplies_by_length():
     def f(x):
         def body(c, _):
