@@ -201,6 +201,31 @@ def test_knn_postprocess_against_torch_oracle():
     assert (got == want).mean() > 0.99  # allow top-k tie-order divergence
 
 
+def test_knn_on_confidence_truncation_semantics():
+    """The reference KNN-refines the CONFIDENCE map before the nuScenes
+    V2 merge by pushing it through the same voting KNN
+    (tasks/epmf_eval_nuscenes/infer.py:155-161). Its unfold(...).long()
+    truncates conf in [0,1) to class 0, the 1..C-1 vote argmax over an
+    empty histogram is 0, and the output is identically 1 — i.e. with
+    --knn the merge degrades to first-camera-wins. Our knn_postprocess
+    must reproduce exactly that when handed a float map."""
+    rng = np.random.default_rng(7)
+    H, W, P, C = 16, 24, 100, 17
+    proj_range = np.full((H, W), -1.0, np.float32)
+    occ = rng.random((H, W)) > 0.4
+    proj_range[occ] = rng.uniform(2, 60, size=int(occ.sum()))
+    conf = rng.uniform(0.0, 0.999, size=(H, W)).astype(np.float32)
+    px = rng.integers(0, W, size=P).astype(np.int32)
+    py = rng.integers(0, H, size=P).astype(np.int32)
+    unproj = rng.uniform(2, 60, size=P).astype(np.float32)
+
+    out = np.asarray(knn_postprocess(
+        jnp.asarray(proj_range), jnp.asarray(unproj), jnp.asarray(conf),
+        jnp.asarray(px), jnp.asarray(py),
+        knn=5, search=5, sigma=1.0, cutoff=1.0, nclasses=C))
+    np.testing.assert_array_equal(out, np.ones((P,), np.int32))
+
+
 def test_upsample_bilinear_matches_torch():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as TF

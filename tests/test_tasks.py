@@ -165,6 +165,13 @@ def test_epmf_nuscenes_config_e2e(nusc_root, tmp_path):
     assert out["frames"] == 2
     assert np.isfinite(out["mIoU"])
 
+    # --knn on the V2 path also KNN-refines the confidence before the
+    # merge (ref epmf_eval_nuscenes/infer.py:147-161)
+    inf_knn = NuscenesInference(opts, best_dir, split="train", use_knn=True)
+    out_knn = inf_knn.run(max_frames=1)
+    assert out_knn["frames"] == 1
+    assert np.isfinite(out_knn["mIoU"])
+
 
 def test_salsanext_nuscenes_config_e2e(nusc_root, tmp_path):
     """Shipped salsanext_nuscenes.yaml (32-beam spherical projection,
