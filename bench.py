@@ -81,6 +81,13 @@ def remaining():
     return BUDGET_S - elapsed()
 
 
+def mark(msg: str):
+    """Timestamped stderr breadcrumb (phase subprocesses inherit stderr →
+    slow relay RPCs become visible in the driver tail instead of looking
+    like a silent hang)."""
+    print(f"# [t={elapsed():5.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
 # --------------------------------------------------------------------------
 # parent-side orchestration (no jax here — ever)
 # --------------------------------------------------------------------------
@@ -112,37 +119,70 @@ def prune_cache():
         pass
 
 
+INACTIVITY_S = float(os.environ.get("BENCH_INACTIVITY_S", "100"))
+# silence allowance while a [longcompile] breadcrumb is the latest line:
+# must cover the worst legitimate cold compile of that phase (train is
+# ~505 s at default effort; everything else lands well under 420 s)
+LONG_INACTIVITY_S = {"train": 900.0}
+LONG_INACTIVITY_DEFAULT_S = 420.0
+
+
 def run_phase(phase: str, timeout_s: float):
-    """Run one phase subprocess; stream stdout and return the list of
-    parsed JSON lines seen before exit/timeout (a line that landed
-    before a relay hang still counts)."""
+    """Run one phase subprocess; stream stdout/stderr and return the list
+    of parsed JSON lines seen before exit/timeout (a line that landed
+    before a relay hang still counts).
+
+    Stage-aware watchdog (the observed relay failure mode is a random
+    per-connection hang — even on cached cheap steps — while a
+    legitimate cold compile of the big pipeline is minutes of silence):
+    a phase that goes quiet for INACTIVITY_S anywhere EXCEPT inside a
+    breadcrumb marked [longcompile] is killed early so the budget buys a
+    fresh-connection retry; the big compiles get the full timeout."""
     if timeout_s <= 5:
         return []
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--phase", phase],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
     lines: list = []
+    state = {"last": time.perf_counter(), "compiling": False}
 
-    def reader():
+    def reader(stream, is_stdout):
         try:
-            for ln in proc.stdout:
+            for ln in stream:
                 ln = ln.strip()
-                if ln.startswith("{"):
+                state["last"] = time.perf_counter()
+                state["compiling"] = "[longcompile]" in ln
+                if is_stdout and ln.startswith("{"):
                     try:
                         lines.append(json.loads(ln))
                     except json.JSONDecodeError:
                         pass
+                elif not is_stdout:
+                    print(ln, file=sys.stderr, flush=True)
         except ValueError:
             pass
 
-    t = threading.Thread(target=reader, daemon=True)
-    t.start()
+    ts = [threading.Thread(target=reader, args=(proc.stdout, True), daemon=True),
+          threading.Thread(target=reader, args=(proc.stderr, False), daemon=True)]
+    for t in ts:
+        t.start()
     deadline = time.perf_counter() + timeout_s
+    long_allow = LONG_INACTIVITY_S.get(phase, LONG_INACTIVITY_DEFAULT_S)
     while proc.poll() is None and time.perf_counter() < deadline:
+        quiet = time.perf_counter() - state["last"]
+        allow = long_allow if state["compiling"] else INACTIVITY_S
+        if quiet > allow:
+            stage = "during long compile" if state["compiling"] \
+                else "before any compile"
+            print(f"# {phase}: no progress for {quiet:.0f}s {stage} — "
+                  "killing for a fresh-connection retry",
+                  file=sys.stderr, flush=True)
+            break
         time.sleep(0.5)
     if proc.poll() is None:
         proc.kill()
-    t.join(timeout=5)
+    for t in ts:
+        t.join(timeout=5)
     return lines
 
 
@@ -182,13 +222,19 @@ def orchestrate():
     headline = _headline(result)
     print(json.dumps(headline), flush=True)  # the driver's number lands NOW
 
-    # opportunistic upgrades, cheapest-risk first; every success
-    # reprints a fuller line (the last line is the most complete).
-    for phase, min_left in (("eval_default", 100), ("train", 90),
-                            ("epmf", 90)):
+    # opportunistic upgrades, most-valuable first (train is the judged
+    # target; eval_default is only a +10% headline bump but needs the
+    # 345 MB default-effort executable); every success reprints a fuller
+    # line (the last line is the most complete).
+    for phase, min_left in (("train", 90), ("epmf", 90),
+                            ("eval_default", 100)):
         if remaining() < min_left:
             break
         lines = run_phase(phase, remaining() - 8)
+        if not lines and remaining() > min_left:
+            # one retry: the common failure is a pre-compile connection
+            # hang, which the watchdog kills within INACTIVITY_S
+            lines = run_phase(phase, remaining() - 8)
         got = {}
         for ln in lines:
             got.update(ln)
@@ -264,6 +310,7 @@ def _setup_pmf(jax, jnp):
                           jnp.zeros((1, 64, 80, 5)), jnp.zeros((1, 64, 80, 3)),
                           train=False)
 
+    mark("compiling init_fn (small)")
     variables = init_fn(jax.random.PRNGKey(0))
     # variables passed as args (not closure constants) → stable compile
     # cache key across runs
@@ -289,8 +336,11 @@ def _eval_pipeline_fn(jax, jnp, model, cfg):
 
 
 def phase_eval(effort_default: bool):
+    mark("phase_eval: importing jax")
     jax, jnp = _setup_jax()
+    mark("jax up; building model/inputs (first device RPCs)")
     cfg, model, variables, args = _setup_pmf(jax, jnp)
+    mark("init done; compiling pipeline [longcompile]")
     fn = _eval_pipeline_fn(jax, jnp, model, cfg)
     opts = ({"exec_time_optimization_effort": 0.0}
             if effort_default else None)
@@ -298,7 +348,9 @@ def phase_eval(effort_default: bool):
 
     eps = jnp.float32(0.0)
     out, eps = jfn(variables, eps, *args)
+    mark("compile dispatched; fetching first result")
     np.asarray(out[0, :2, :2])  # force compile + first execution
+    mark("first execution fetched; timing")
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
         out, eps = jfn(variables, eps, *args)
@@ -317,7 +369,9 @@ def phase_eval(effort_default: bool):
 
 
 def phase_train():
+    mark("phase_train: importing jax")
     jax, jnp = _setup_jax()
+    mark("jax up; building model/inputs")
     cfg0, model, variables, args = _setup_pmf(jax, jnp)
     from pmf_tpu.data import PVConfig, build_batch
     from pmf_tpu.train import (LossConfig, TrainState, hybrid_pmf_optimizer,
@@ -356,8 +410,10 @@ def phase_train():
         compiler_options={"exec_time_optimization_effort": 0.0})(train_fn)
 
     key = jax.random.PRNGKey(0)
+    mark("compiling train step [longcompile]")
     state, aux = train_iter(state, key, *args)
     np.asarray(aux["loss"])  # compile + warm
+    mark("train step warm; timing")
     t0 = time.perf_counter()
     for _ in range(N_TRAIN_ITERS):
         state, aux = train_iter(state, key, *args)
@@ -378,7 +434,9 @@ def phase_epmf():
     """EPMF (efficient variant) eval throughput at its /64 config —
     V2 pipeline (yaw-crop, tight bbox) + half-res lidar stream
     (epmf_net.py:82-131)."""
+    mark("phase_epmf: importing jax")
     jax, jnp = _setup_jax()
+    mark("jax up; building model/inputs")
     from pmf_tpu.data.perspective_pipeline_v2 import V2Config, build_v2_batch
     from pmf_tpu.models import EPMFNet
 
@@ -412,8 +470,10 @@ def phase_epmf():
     epmf_pipeline = jax.jit(epmf_fn)
 
     eps = jnp.float32(0.0)
+    mark("compiling EPMF pipeline [longcompile]")
     out, eps = epmf_pipeline(variables, eps, *args)
     np.asarray(out[0, :2, :2])
+    mark("EPMF pipeline warm; timing")
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
         out, eps = epmf_pipeline(variables, eps, *args)

@@ -20,7 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CASES = ["base", "remat"]
+CASES = ["base", "remat", "remat07", "bs16"]
 BATCH = 8
 N_ITERS = 8
 
@@ -37,6 +37,8 @@ def run_case(case: str):
     sys.path.insert(0, "/root/repo")
     import bench
 
+    batch = 16 if case == "bs16" else BATCH
+    bench.BATCH = batch  # _setup_pmf reads the module global
     cfg0, model, variables, args = bench._setup_pmf(jax, jnp)
     from pmf_tpu.data import PVConfig, build_batch
     from pmf_tpu.train import (LossConfig, TrainState, hybrid_pmf_optimizer,
@@ -50,13 +52,18 @@ def run_case(case: str):
                                "batch_stats": variables["batch_stats"]}, tx)
     loss_cfg = LossConfig(nclasses=20, alpha=tuple([0.0] + [1.0] * 19))
     step = make_pmf_train_step(model, tx, loss_cfg, donate=False,
-                               remat=(case == "remat"))
+                               remat=case.startswith("remat"))
 
     import functools
 
+    # remat07: remat shrinks the backward's live set — probe whether the
+    # −0.7-effort codegen (3× smaller executables, >25 min compile on the
+    # NON-remat train step) becomes tractable and how it runs
+    effort = -0.7 if case == "remat07" else 0.0
+
     @functools.partial(
         jax.jit, donate_argnums=(0,),
-        compiler_options={"exec_time_optimization_effort": 0.0})
+        compiler_options={"exec_time_optimization_effort": effort})
     def train_iter(state, key, points, labels, valid, proj_matrix, image,
                    ih, iw):
         key = jax.random.fold_in(key, state.step)
@@ -75,9 +82,10 @@ def run_case(case: str):
         state, aux = train_iter(state, key, *args)
     np.asarray(aux["loss"])
     dt = (time.perf_counter() - t0) / N_ITERS
-    print(json.dumps({"case": case, "scans_per_sec": round(BATCH / dt, 2),
+    print(json.dumps({"case": case, "scans_per_sec": round(batch / dt, 2),
                       "ms_per_step": round(dt * 1000, 1),
-                      "setup_s": round(setup_s, 1)}), flush=True)
+                      "setup_s": round(setup_s, 1), "batch": batch}),
+          flush=True)
 
 
 def main():
