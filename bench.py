@@ -18,14 +18,15 @@ budget):
   measured line arrives. Phases:
 
     eval_fast    headline, codegen effort −0.7: 27 MB executable,
-                 sub-minute warm setup, 67 scans/s. Retried until it
+                 sub-minute warm setup, ~69 scans/s. Retried until it
                  lands or the budget is gone.
-    eval_default same program at default effort: ~345 MB executable,
-                 minutes to compile/load through the relay, ~77 scans/s
-                 (+15%). Budget-gated; upgrades the headline value.
     train        PMF train step (default effort; −0.7 makes its compile
                  take >25 min).
     epmf         EPMF eval at its /64 config (effort −0.7).
+    epmf_train   EPMF train step, bs 4 (bs 8 OOMs HBM; reference trains
+                 at bs 2/GPU).
+    eval_default same program as eval_fast at default effort: ~345 MB
+                 executable, ~77 scans/s (+12%). Upgrades the headline.
 
   Every printed line carries the full headline {metric, value, unit,
   vs_baseline}; the LAST line is the most complete. Exit 0 iff a
@@ -369,6 +370,8 @@ def phase_eval(effort_default: bool):
 
 
 def phase_train():
+    global BATCH
+    BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", str(BATCH)))
     mark("phase_train: importing jax")
     jax, jnp = _setup_jax()
     mark("jax up; building model/inputs")
@@ -512,6 +515,7 @@ def phase_epmf_train():
 
     batch = int(os.environ.get("BENCH_EPMF_TRAIN_BATCH", "4"))
     use_remat = os.environ.get("BENCH_EPMF_TRAIN_REMAT", "0") == "1"
+    effort = float(os.environ.get("BENCH_EPMF_TRAIN_EFFORT", "0.0"))
     h, w = 320, 1216
     cfg = V2Config(canvas_h=H, canvas_w=W + 16, proj_h=h, proj_w=w,
                    proj_ht=h, proj_wt=w, n_points=N_POINTS)
@@ -536,9 +540,24 @@ def phase_epmf_train():
     step = make_pmf_train_step(model, tx, loss_cfg, donate=False,
                                remat=use_remat)
 
+    # Image-domain Lovász (points=None), matching the shipped EPMF
+    # configs (`point_lovasz: false`): XLA:TPU fails to compile the
+    # EPMF train step WITH the point-domain pair loss in any reasonable
+    # time (4× >25 min at bs4 320×1216, default AND −0.7 effort,
+    # 2026-08), while this variant compiles in ~254 s. The sorts cost
+    # ~35% of the step (scripts/trace_epmf_train.py); flip
+    # BENCH_EPMF_TRAIN_POINTS=1 to re-probe the point path when XLA
+    # updates land.
+    use_points = os.environ.get("BENCH_EPMF_TRAIN_POINTS", "0") == "1"
+
     def train_fn(state, key, points, labels, valid, proj_matrix, image,
                  ih, iw):
         key = jax.random.fold_in(key, state.step)
+        if use_points:
+            f, m, l, pts = build_v2_batch(key, points, labels, valid,
+                                          proj_matrix, image, ih, iw, cfg,
+                                          True, return_points=True)
+            return step(state, f, l, key, pts)
         f, m, l = build_v2_batch(key, points, labels, valid, proj_matrix,
                                  image, ih, iw, cfg, True)
         return step(state, f, l, key)
@@ -546,10 +565,10 @@ def phase_epmf_train():
     import functools
     train_iter = functools.partial(
         jax.jit, donate_argnums=(0,),
-        compiler_options={"exec_time_optimization_effort": 0.0})(train_fn)
+        compiler_options={"exec_time_optimization_effort": effort})(train_fn)
 
     key = jax.random.PRNGKey(0)
-    mark("compiling EPMF train step [longcompile]")
+    mark(f"compiling EPMF train step (effort {effort}) [longcompile]")
     state, aux = train_iter(state, key, *args)
     np.asarray(aux["loss"])
     mark("EPMF train step warm; timing")

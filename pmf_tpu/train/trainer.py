@@ -349,6 +349,16 @@ class Trainer:
     # ----------------------------------------------------------- steps
     def _init_steps(self):
         opts = self.opts
+        # point_lovasz (default on): Lovász sorts run over the winner
+        # points instead of all pixels (losses/lovasz.py) — strictly
+        # faster once compiled. Config flag `point_lovasz: false` exists
+        # because XLA:TPU currently fails to compile the EPMF train step
+        # WITH the point-domain pair loss in any reasonable time (4×
+        # >25 min attempts at bs4 320×1216, default and −0.7 effort,
+        # 2026-08; the image-domain variant compiles in ~254 s and the
+        # PMF train step with the same point machinery compiles in
+        # ~505 s — the pathology is specific to that combination).
+        self.point_lovasz = bool(opts.config.get("point_lovasz", True))
         self.loss_cfg = LossConfig(
             nclasses=opts.nclasses, alpha=tuple(float(a) for a in self.alpha),
             gamma_focal=2.0, lambda_=opts.lambda_, gamma=opts.gamma,
@@ -436,6 +446,8 @@ class Trainer:
             t_proc = time.time()
             self._key, kp, kd = jax.random.split(self._key, 3)
             feature, label, points = self._device_batch(batch, train, kp)
+            if not self.point_lovasz:
+                points = None
             if train:
                 if points is not None:
                     self.state, aux = self.train_step(

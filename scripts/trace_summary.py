@@ -46,6 +46,8 @@ def main():
         name = e.get("name", "")
         if name.startswith(("$", "np", "PjitFunction", "jit_")):
             continue
+        if re.fullmatch(r"\d+", name):
+            continue  # per-step markers (each spans the whole step)
         per_op[name] += e["dur"]
         n_ev[name] += 1
 
