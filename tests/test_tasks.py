@@ -236,3 +236,21 @@ def test_create_fov_dataset(kitti_root, tmp_path):
     assert 0 < len(pcd) < len(full)
     assert (pcd[:, 0] > 0.5).all()
     assert sem.shape[0] == pcd.shape[0]
+
+
+@pytest.mark.smoke
+def test_epmf_configs_pin_image_domain_lovasz():
+    """The shipped EPMF configs must keep `point_lovasz: false`:
+    XLA:TPU cannot compile the EPMF train step with the point-domain
+    pair Lovász (4 bounded attempts >25 min at bs4 320x1216, default
+    and -0.7 codegen effort, 2026-08), while the image-domain variant
+    compiles in ~254 s. The trainer honors the flag (trainer.py:
+    point_lovasz) and PMF configs keep the faster point path."""
+    root = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "experiments")
+    for name in ("epmf_kitti", "epmf_nuscenes", "epmf_a2d2"):
+        cfg = yaml.safe_load(open(os.path.join(root, f"{name}.yaml")))
+        assert cfg.get("point_lovasz") is False, name
+    for name in ("pmf_kitti", "pmf_nuscenes"):
+        cfg = yaml.safe_load(open(os.path.join(root, f"{name}.yaml")))
+        assert cfg.get("point_lovasz", True) is True, name
